@@ -1,0 +1,106 @@
+"""Frozen dataclass configuration (replaces the reference's ``tf.app.flags``).
+
+The reference configured each per-paper script with ``tf.app.flags.DEFINE_*``
+globals (SURVEY §5.6).  The rebuild uses typed frozen dataclasses with a
+single registry keyed by model name; configs serialize to JSON into the
+checkpoint directory for reproducibility and round-trip back for resume.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any
+
+__all__ = ["ModelConfig", "DataConfig", "TrainConfig", "ExperimentConfig"]
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Which network to build and at what scale."""
+
+    name: str = "srcnn"  # srcnn | espcn | vdsr | srresnet | srgan
+    scale: int = 2
+    # Channel count the network sees: 1 (Y-channel protocol) or 3 (RGB).
+    channels: int = 1
+    # Model-specific hyperparameters (depth, filters, ...); defaults per paper.
+    overrides: dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Host decode + on-device pipeline parameters."""
+
+    train_dir: str = ""
+    eval_dir: str = ""
+    # Fixed-size HR tiles the host hands to the device (decode-once/crop-many).
+    tile_size: int = 256
+    patch_size: int = 96
+    batch_size: int = 64
+    augment: bool = True
+    # Patches-per-tile fanout on device; host decode amortized by this factor.
+    patches_per_tile: int = 4
+    prefetch: int = 2
+    num_workers: int = 4
+    seed: int = 0
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Optimizer / schedule / checkpoint / parallelism knobs."""
+
+    steps: int = 100_000
+    learning_rate: float = 1e-3
+    # VDSR protocol: high LR + gradient clipping (arXiv:1511.04587 §3.3).
+    grad_clip_norm: float = 0.0  # 0 disables
+    lr_decay_steps: int = 0  # 0 disables staircase decay
+    lr_decay_rate: float = 0.1
+    weight_decay: float = 0.0
+    ema_decay: float = 0.0  # 0 disables params EMA
+    # bf16 compute for conv stacks; params/optimizer state stay f32.
+    bf16: bool = False
+    eval_every: int = 1000
+    log_every: int = 100
+    ckpt_every: int = 1000
+    ckpt_dir: str = "ckpts"
+    max_to_keep: int = 3
+    resume: bool = True
+    # Data-parallel submesh size; 0 = all visible devices.
+    dp: int = 0
+    # SRGAN two-phase schedule (arXiv:1609.04802): MSE pretrain steps before
+    # the adversarial phase; ignored by non-GAN trainers.
+    pretrain_steps: int = 0
+    adversarial_weight: float = 1e-3
+    perceptual_weight: float = 1.0 / 12.75**2
+    debug_nans: bool = False
+
+
+@dataclass(frozen=True)
+class ExperimentConfig:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)
+
+    def save(self, path: str | Path) -> None:
+        Path(path).write_text(self.to_json())
+
+    @classmethod
+    def from_json(cls, text: str) -> "ExperimentConfig":
+        raw = json.loads(text)
+        return cls(
+            model=ModelConfig(**raw.get("model", {})),
+            data=DataConfig(**raw.get("data", {})),
+            train=TrainConfig(**raw.get("train", {})),
+        )
+
+    @classmethod
+    def load(cls, path: str | Path) -> "ExperimentConfig":
+        return cls.from_json(Path(path).read_text())
+
+    def replace(self, **kwargs) -> "ExperimentConfig":
+        return dataclasses.replace(self, **kwargs)

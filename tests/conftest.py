@@ -1,0 +1,26 @@
+"""Test harness: force CPU with 8 virtual devices (SURVEY §4 "distributed
+without a cluster") so shard_map/pjit paths are exercised without TPU chips.
+
+Must set XLA flags before jax initializes — hence module-level, first import.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)  # f64 available for golden oracles
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1234)
