@@ -1,0 +1,116 @@
+"""Datasets: directory-of-images (the reference's layout) + synthetic fallback.
+
+The reference walked a dataset directory and PIL-decoded images host-side
+(SURVEY §2a "Data pipeline").  Same contract here: any folder of
+PNG/JPEG/BMP HR images is a training or eval set (T91/DIV2K/Set5/Set14/BSD100
+all ship as such folders).
+
+``SyntheticImages`` exists because this build environment has no benchmark
+images on disk and zero egress: it renders deterministic, band-limited
+texture+edge images so training/eval smoke runs and benchmarks are
+reproducible without real data.  It is clearly not a substitute for Set5
+PSNR parity — see BASELINE.md caveats.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from pathlib import Path
+from typing import Iterator, Sequence
+
+import numpy as np
+
+_EXTS = {".png", ".jpg", ".jpeg", ".bmp", ".ppm", ".webp"}
+
+
+class ImageFolder:
+    """Folder of HR images; decodes to uint8 RGB HWC numpy arrays."""
+
+    def __init__(self, root: str | Path):
+        self.root = Path(root)
+        self.paths: list[Path] = sorted(
+            p for p in self.root.rglob("*") if p.suffix.lower() in _EXTS
+        )
+        if not self.paths:
+            raise FileNotFoundError(f"no images under {self.root}")
+
+    def __len__(self) -> int:
+        return len(self.paths)
+
+    def decode(self, i: int) -> np.ndarray:
+        from PIL import Image
+
+        with Image.open(self.paths[i]) as im:
+            return np.asarray(im.convert("RGB"), dtype=np.uint8)
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        for i in range(len(self)):
+            yield self.decode(i)
+
+
+class SyntheticImages:
+    """Deterministic procedural 'photos': gradients, edges, ridges, texture.
+
+    Rendered fresh from a per-index seed — unlimited, reproducible, and with
+    enough structure (oriented edges + band-limited texture) that SR nets
+    trained on them beat bicubic on held-out synthetic images.
+    """
+
+    def __init__(self, n: int = 800, size: int = 256, seed: int = 0):
+        self.n, self.size, self.seed = n, size, seed
+        self.paths = [f"synthetic://{seed}/{i}" for i in range(n)]
+
+    def __len__(self) -> int:
+        return self.n
+
+    def decode(self, i: int) -> np.ndarray:
+        h = hashlib.sha256(f"{self.seed}:{i}".encode()).digest()
+        rng = np.random.default_rng(int.from_bytes(h[:8], "little"))
+        s = self.size
+        yy, xx = np.mgrid[0:s, 0:s].astype(np.float64) / s
+        img = np.zeros((s, s, 3))
+        # smooth background gradient per channel
+        for c in range(3):
+            a, b, ph = rng.uniform(-1, 1, 3)
+            img[..., c] = 0.5 + 0.25 * (a * xx + b * yy + 0.3 * np.sin(6.28 * (ph + xx * rng.integers(1, 4))))
+        # oriented sinusoidal ridges (band-limited detail)
+        for _ in range(4):
+            th = rng.uniform(0, np.pi)
+            freq = rng.uniform(4, 40)
+            phase = rng.uniform(0, 6.28)
+            ridge = np.sin(6.28 * freq * (xx * np.cos(th) + yy * np.sin(th)) + phase)
+            img += 0.08 * ridge[..., None] * rng.uniform(0.3, 1.0, 3)
+        # sharp polygonal edges (step content — what SR lives on)
+        for _ in range(6):
+            cx, cy = rng.uniform(0.1, 0.9, 2)
+            th = rng.uniform(0, np.pi)
+            r = rng.uniform(0.05, 0.35)
+            mask = ((xx - cx) * np.cos(th) + (yy - cy) * np.sin(th)) ** 2 + (
+                -(xx - cx) * np.sin(th) + (yy - cy) * np.cos(th)
+            ) ** 2 * rng.uniform(1, 8) < r * r
+            img[mask] = img[mask] * 0.5 + rng.uniform(0, 1, 3) * 0.5
+        # mild texture
+        img += rng.normal(0, 0.015, (s, s, 3))
+        return (np.clip(img, 0, 1) * 255).round().astype(np.uint8)
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        for i in range(len(self)):
+            yield self.decode(i)
+
+
+def make_dataset(root: str | Path | None, **synth_kw):
+    """Folder if it exists and has images, else the synthetic fallback."""
+    if root:
+        p = Path(root)
+        if p.exists():
+            return ImageFolder(p)
+    return SyntheticImages(**synth_kw)
+
+
+def load_eval_images(
+    root: str | Path | None, n_synthetic: int = 5, size: int = 256, seed: int = 123
+) -> Sequence[np.ndarray]:
+    """Benchmark set: all images of a folder (Set5/Set14/BSD100 layout) or a
+    deterministic synthetic pseudo-Set5."""
+    ds = make_dataset(root, n=n_synthetic, size=size, seed=seed)
+    return [ds.decode(i) for i in range(len(ds))]

@@ -1,0 +1,102 @@
+"""Full-frame / video inference: the reference's ``upscale`` flow (SURVEY §3.3).
+
+Classic SR protocol: the network upscales **luma**; chroma is bicubic-upscaled
+and re-merged (for Y-channel models).  RGB models (SRResNet/SRGAN) forward all
+three channels.  Frames can be processed whole on one device or row-band
+tiled across the ``space`` mesh axis with halo exchange (``parallel/tiling``),
+producing bitwise-identical output (BASELINE.json:11).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ml_super_resolution_tpu.models import MODEL_SPECS
+from ml_super_resolution_tpu.ops.color import rgb_to_ycbcr, ycbcr_to_rgb
+from ml_super_resolution_tpu.ops.resize import imresize
+from ml_super_resolution_tpu.parallel.tiling import tiled_apply
+
+__all__ = ["upscale_frames", "upscale_image"]
+
+
+def _network_input(y_or_rgb: jnp.ndarray, scale: int, lr_space: bool) -> jnp.ndarray:
+    return y_or_rgb if lr_space else imresize(y_or_rgb, scale=float(scale))
+
+
+def upscale_frames(
+    model,
+    variables,
+    frames_u8: jnp.ndarray,
+    model_name: str,
+    scale: int,
+    mesh=None,
+    pad_multiple: int | None = None,
+) -> jnp.ndarray:
+    """Upscale a batch of LR RGB frames ``(N, h, w, 3)`` uint8 -> HR uint8.
+
+    With ``mesh`` (containing a ``space`` axis of size > 1) the conv stack
+    runs row-band-tiled with halo exchange; otherwise whole-frame.
+    """
+    spec = MODEL_SPECS[model_name]
+    y_only = spec["y_only"]
+    lr_space = spec["lr_space"]
+    halo = spec["rf_radius"](scale)
+
+    x = frames_u8.astype(jnp.float32) / 255.0
+
+    if y_only:
+        ycbcr = rgb_to_ycbcr(x)
+        net_in = _network_input(ycbcr[..., :1], scale, lr_space)
+        chroma = imresize(ycbcr[..., 1:], scale=float(scale))
+    else:
+        net_in = _network_input(x, scale, lr_space)
+        chroma = None
+
+    def apply_fn(inp):
+        return model.apply(variables, inp, train=False)
+
+    net_scale = scale if lr_space else 1
+    net_halo = halo
+    nsp = mesh.shape.get("space", 1) if mesh is not None else 1
+    h = net_in.shape[1]
+    pad = (-h) % nsp if nsp > 1 else 0
+    if nsp > 1 and (h + pad) // nsp >= 2 * net_halo:
+        if pad:
+            net_in_p = jnp.pad(net_in, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        else:
+            net_in_p = net_in
+        sr = tiled_apply(apply_fn, net_in_p, mesh, halo=net_halo, scale=net_scale)
+        sr = sr[:, : h * net_scale]
+        if pad:
+            # Zero-padding is not SAME padding once convs stack: the last
+            # ``halo`` real rows saw pad-region activations.  Recompute them
+            # exactly with a short whole-frame strip whose bottom edge is the
+            # true frame edge (top edge is >= halo rows from the kept rows).
+            s_rows = min(h, 2 * net_halo)
+            strip = apply_fn(net_in[:, h - s_rows :])
+            fix = net_halo * net_scale
+            sr = jnp.concatenate([sr[:, : (h - net_halo) * net_scale], strip[:, -fix:]], axis=1)
+    else:
+        # frame too short to tile at this halo, or no space axis: whole-frame
+        sr = apply_fn(net_in)
+
+    if y_only:
+        out = ycbcr_to_rgb(jnp.concatenate([sr, chroma], axis=-1))
+    else:
+        out = sr
+    return jnp.round(jnp.clip(out, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
+
+def upscale_image(
+    model, variables, image_u8: np.ndarray, model_name: str, scale: int, mesh=None
+) -> np.ndarray:
+    """Single HWC uint8 image convenience wrapper."""
+    out = upscale_frames(
+        model, variables, jnp.asarray(image_u8)[None], model_name, scale, mesh
+    )
+    return np.asarray(out[0])

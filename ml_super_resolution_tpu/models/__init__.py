@@ -13,6 +13,7 @@ from ml_super_resolution_tpu.models.srcnn import SRCNN
 from ml_super_resolution_tpu.models.espcn import ESPCN
 from ml_super_resolution_tpu.models.vdsr import VDSR
 from ml_super_resolution_tpu.models.srresnet import SRResNet, SRGANDiscriminator
+from ml_super_resolution_tpu.models.vgg import VGG19Features, load_vgg19_params
 from ml_super_resolution_tpu.utils.config import ModelConfig
 
 __all__ = [
@@ -73,9 +74,8 @@ register_model(
 
 
 def build_model(cfg: ModelConfig):
-    """Instantiate a model from config; overrides feed the constructor."""
+    """Instantiate a model from config; ``cfg.overrides`` feed the constructor."""
     spec = MODEL_SPECS[cfg.name]
-    kwargs = dict(spec["ctor"].__annotations__ and {})  # placeholder, see below
     kwargs = dict(cfg.overrides)
     if cfg.name in ("espcn", "srresnet", "srgan"):
         kwargs.setdefault("scale", cfg.scale)

@@ -1,0 +1,273 @@
+"""The single-loop training/eval engine shared by every non-GAN model.
+
+Replaces the reference's per-paper hand-written ``session.run`` loops
+(SURVEY §3.1) with one jitted step: on-device crop/augment/degrade
+(``ops/patches``), forward, MSE loss, backward, optax update, EMA — one XLA
+program, state donated, batch sharded over the ``data`` mesh axis (P1 of
+SURVEY §2b).  The host's only per-step work is handing over a uint8 tile
+batch and (every ``log_every``) reading back a scalar.
+
+TPU specifics:
+* grads/updates run where the data lives; with ``dp > 1`` XLA inserts the
+  gradient ``psum`` over ICI from the sharding annotations alone.
+* optional bf16 trunk compute (params and optimizer state stay f32).
+* eval PSNR/SSIM computed on device (K4), per-shape compile cache.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from pathlib import Path
+from typing import Any, Iterable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ml_super_resolution_tpu.models import MODEL_SPECS, build_model
+from ml_super_resolution_tpu.ops.metrics import psnr, ssim
+from ml_super_resolution_tpu.ops.patches import eval_pair, training_pairs
+from ml_super_resolution_tpu.ops.color import rgb_to_y
+from ml_super_resolution_tpu.train.checkpoint import CheckpointManager
+from ml_super_resolution_tpu.utils.config import ExperimentConfig
+from ml_super_resolution_tpu.utils.logging import MetricsLogger
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    ema_params: Any  # == params pytree, or None when EMA disabled
+    rng: jax.Array
+
+
+def make_optimizer(cfg) -> optax.GradientTransformation:
+    lr: Any = cfg.learning_rate
+    if cfg.lr_decay_steps > 0:
+        lr = optax.exponential_decay(
+            cfg.learning_rate,
+            cfg.lr_decay_steps,
+            cfg.lr_decay_rate,
+            staircase=True,
+        )
+    chain = []
+    if cfg.grad_clip_norm > 0:
+        # VDSR's high-LR + clipping protocol (arXiv:1511.04587 §3.3).
+        chain.append(optax.clip_by_global_norm(cfg.grad_clip_norm))
+    if cfg.weight_decay > 0:
+        chain.append(optax.adamw(lr, weight_decay=cfg.weight_decay))
+    else:
+        chain.append(optax.adam(lr))
+    return optax.chain(*chain)
+
+
+class Trainer:
+    def __init__(self, cfg: ExperimentConfig, workdir: str | Path | None = None):
+        self.cfg = cfg
+        self.spec = MODEL_SPECS[cfg.model.name]
+        overrides = dict(cfg.model.overrides)
+        if cfg.train.bf16:
+            overrides.setdefault("dtype", jnp.bfloat16)
+        self.model = build_model(
+            cfg.model if not overrides else cfg.model.__class__(
+                name=cfg.model.name,
+                scale=cfg.model.scale,
+                channels=cfg.model.channels,
+                overrides=overrides,
+            )
+        )
+        self.tx = make_optimizer(cfg.train)
+
+        dp = cfg.train.dp or len(jax.devices())
+        self.mesh = Mesh(np.asarray(jax.devices()[:dp]).reshape(dp), ("data",))
+        self.batch_sharding = NamedSharding(self.mesh, P("data"))
+        self.replicated = NamedSharding(self.mesh, P())
+
+        self.workdir = Path(workdir) if workdir else None
+        self.logger = MetricsLogger(self.workdir, echo=True)
+        self.ckpt: CheckpointManager | None = None
+        if self.workdir:
+            self.ckpt = CheckpointManager(
+                self.workdir / cfg.train.ckpt_dir, cfg.train.max_to_keep
+            )
+            self.ckpt.save_config(cfg)
+
+        if cfg.train.debug_nans:
+            jax.config.update("jax_debug_nans", True)
+
+        self._train_step = jax.jit(
+            self._step_impl,
+            donate_argnums=(0,),
+            in_shardings=(self.replicated, self.batch_sharding),
+            out_shardings=(self.replicated, self.replicated),
+        )
+        self._eval_apply = jax.jit(self._eval_forward)
+
+    # ------------------------------------------------------------- state --
+    def init_state(self, seed: int = 0) -> TrainState:
+        c = self.cfg
+        patch = c.data.patch_size
+        in_patch = patch // c.model.scale if self.spec["lr_space"] else patch
+        dummy = jnp.zeros((1, in_patch, in_patch, c.model.channels), jnp.float32)
+        variables = self.model.init(jax.random.key(seed), dummy, train=False)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=self.tx.init(params),
+            ema_params=params if c.train.ema_decay > 0 else None,
+            # old-style uint32 key: serializes through Orbax StandardSave
+            rng=jax.random.PRNGKey(seed),
+        )
+        return jax.device_put(state, self.replicated)
+
+    @property
+    def n_params(self) -> int:
+        # counts from an abstract init — no device work
+        c = self.cfg
+        patch = c.data.patch_size
+        in_patch = patch // c.model.scale if self.spec["lr_space"] else patch
+        dummy = jax.ShapeDtypeStruct((1, in_patch, in_patch, c.model.channels), jnp.float32)
+        variables = jax.eval_shape(
+            partial(self.model.init, train=False), jax.random.key(0), dummy
+        )
+        return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables["params"]))
+
+    # -------------------------------------------------------------- step --
+    def _loss_fn(self, params, batch_stats, lr_batch, hr_batch, train: bool):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+            out, mutated = self.model.apply(
+                variables, lr_batch, train=train, mutable=["batch_stats"]
+            )
+            new_stats = mutated["batch_stats"]
+        else:
+            out = self.model.apply(variables, lr_batch, train=train)
+            new_stats = batch_stats
+        loss = jnp.mean(jnp.square(out - hr_batch))
+        return loss, (new_stats, out)
+
+    def _step_impl(self, state: TrainState, tiles: jnp.ndarray):
+        c = self.cfg
+        key = jax.random.fold_in(state.rng, state.step)
+        lr_batch, hr_batch = training_pairs(
+            key,
+            tiles,
+            patch_size=c.data.patch_size,
+            scale=c.model.scale,
+            y_only=c.model.channels == 1,
+            lr_space=self.spec["lr_space"],
+            augment=c.data.augment,
+        )
+        (loss, (new_stats, _)), grads = jax.value_and_grad(
+            self._loss_fn, has_aux=True
+        )(state.params, state.batch_stats, lr_batch, hr_batch, True)
+        updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        ema = state.ema_params
+        if ema is not None:
+            d = c.train.ema_decay
+            ema = jax.tree.map(lambda e, p: d * e + (1 - d) * p, ema, new_params)
+        metrics = {
+            "loss": loss,
+            "grad_norm": optax.global_norm(grads),
+        }
+        return (
+            state.replace(
+                step=state.step + 1,
+                params=new_params,
+                batch_stats=new_stats,
+                opt_state=new_opt,
+                ema_params=ema,
+            ),
+            metrics,
+        )
+
+    def train_step(self, state: TrainState, tiles: np.ndarray):
+        """One jitted step; ``tiles`` is a uint8 (N, T, T, 3) host batch."""
+        return self._train_step(state, tiles)
+
+    # -------------------------------------------------------------- eval --
+    def _eval_forward(self, params, batch_stats, lr_img):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        return self.model.apply(variables, lr_img[None], train=False)[0]
+
+    def eval_params(self, state: TrainState):
+        return state.ema_params if state.ema_params is not None else state.params
+
+    def evaluate(
+        self, state: TrainState, images: Sequence[np.ndarray], scale: int | None = None
+    ) -> dict[str, float]:
+        """Protocol eval: Y-channel PSNR/SSIM with ``scale``-px shave."""
+        c = self.cfg
+        scale = scale or c.model.scale
+        y_only = c.model.channels == 1
+        params = self.eval_params(state)
+        psnrs, ssims = [], []
+        for img in images:
+            lr_img, hr_img = eval_pair(
+                jnp.asarray(img), scale, y_only=y_only, lr_space=self.spec["lr_space"]
+            )
+            sr = self._eval_apply(params, state.batch_stats, lr_img)
+            sr = jnp.clip(sr, 0.0, 1.0)
+            if not y_only:  # score on luma (SISR protocol)
+                sr, hr_img = rgb_to_y(sr), rgb_to_y(hr_img)
+            psnrs.append(psnr(sr, hr_img, border=scale))
+            ssims.append(ssim(sr, hr_img, border=scale))
+        return {
+            "psnr": float(np.mean([np.asarray(p) for p in psnrs])),
+            "ssim": float(np.mean([np.asarray(s) for s in ssims])),
+        }
+
+    # --------------------------------------------------------------- fit --
+    def fit(
+        self,
+        loader: Iterable[np.ndarray],
+        eval_images: Sequence[np.ndarray] | None = None,
+        steps: int | None = None,
+        seed: int = 0,
+    ) -> TrainState:
+        c = self.cfg
+        steps = steps or c.train.steps
+        state = self.init_state(seed)
+        start_step = 0
+        if self.ckpt and c.train.resume:
+            restored = self.ckpt.restore_latest(state)
+            if restored is not None:
+                state, start_step = restored
+                self.logger.log("resume", start_step)
+
+        it = iter(loader)
+        t0 = time.perf_counter()
+        for step in range(start_step, steps):
+            tiles = next(it)
+            state, metrics = self.train_step(state, tiles)
+            if (step + 1) % c.train.log_every == 0 or step == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                dt = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                self.logger.log(
+                    "train",
+                    step + 1,
+                    **m,
+                    steps_per_s=(c.train.log_every if step else 1) / dt,
+                )
+            if eval_images and (step + 1) % c.train.eval_every == 0:
+                ev = self.evaluate(state, eval_images)
+                self.logger.log("eval", step + 1, **ev)
+            if self.ckpt and (step + 1) % c.train.ckpt_every == 0:
+                self.ckpt.save(step + 1, jax.device_get(state))
+        if self.ckpt:
+            self.ckpt.save(steps, jax.device_get(state))
+            self.ckpt.wait()
+        return state

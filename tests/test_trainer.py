@@ -1,0 +1,128 @@
+"""Trainer engine tests: overfit smoke, checkpoint resume, DP equivalence
+(SURVEY §4 "Model" + "Integration" rows)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from ml_super_resolution_tpu.data.datasets import SyntheticImages
+from ml_super_resolution_tpu.data.loader import TileLoader
+from ml_super_resolution_tpu.train.trainer import Trainer
+from ml_super_resolution_tpu.utils.config import (
+    DataConfig,
+    ExperimentConfig,
+    ModelConfig,
+    TrainConfig,
+)
+
+
+def _cfg(name="srcnn", scale=2, **train_kw):
+    channels = 3 if name in ("srresnet", "srgan") else 1
+    overrides = {"num_blocks": 1} if name in ("srresnet", "srgan") else {}
+    return ExperimentConfig(
+        model=ModelConfig(name=name, scale=scale, channels=channels, overrides=overrides),
+        data=DataConfig(tile_size=64, patch_size=32, batch_size=8),
+        train=TrainConfig(
+            **{
+                "steps": 10, "learning_rate": 1e-3, "log_every": 1000,
+                "eval_every": 10**9, "ckpt_every": 10**9, **train_kw,
+            }
+        ),
+    )
+
+
+def _tiles(n=8, size=64, seed=0):
+    ds = SyntheticImages(n=n, size=size, seed=seed)
+    return np.stack([ds.decode(i) for i in range(n)])
+
+
+def test_overfit_one_batch_srcnn():
+    """Loss on a fixed batch decreases by >3x over 60 steps (CPU-runnable,
+    per BASELINE.json:7)."""
+    tr = Trainer(_cfg("srcnn"))
+    state = tr.init_state(0)
+    tiles = _tiles()
+    first = None
+    for _ in range(60):
+        state, m = tr.train_step(state, tiles)
+        # sync per step: on the 1-core/8-virtual-device CI host, queueing many
+        # async collective programs starves XLA:CPU's rendezvous and aborts
+        jax.block_until_ready(m)
+        if first is None:
+            first = float(m["loss"])
+    last = float(m["loss"])
+    assert last < first / 3, (first, last)
+
+
+@pytest.mark.parametrize("name", ["espcn", "vdsr", "srresnet"])
+def test_one_step_all_models(name):
+    tr = Trainer(_cfg(name, scale=2))
+    state = tr.init_state(0)
+    state, m = tr.train_step(state, _tiles())
+    assert np.isfinite(float(m["loss"]))
+    assert int(state.step) == 1
+
+
+def test_vdsr_grad_clipping_applies():
+    tr = Trainer(_cfg("vdsr", grad_clip_norm=1e-6, learning_rate=0.0))
+    state = tr.init_state(0)
+    # lr=0 → params unchanged; just verifies the optax chain builds/runs
+    state, m = tr.train_step(state, _tiles())
+    assert np.isfinite(float(m["grad_norm"]))
+
+
+def test_evaluate_protocol():
+    tr = Trainer(_cfg("srcnn"))
+    state = tr.init_state(0)
+    imgs = [SyntheticImages(n=2, size=96, seed=9).decode(i) for i in range(2)]
+    out = tr.evaluate(state, imgs)
+    assert set(out) == {"psnr", "ssim"}
+    assert 5 < out["psnr"] < 60
+
+
+def test_fit_and_resume(tmp_path):
+    ds = SyntheticImages(n=8, size=64, seed=1)
+    cfg = _cfg("espcn").replace(
+        train=TrainConfig(
+            steps=4, log_every=2, eval_every=10**9, ckpt_every=2, resume=True
+        )
+    )
+    with TileLoader(ds, batch_size=8, tile_size=64, num_workers=1) as loader:
+        tr = Trainer(cfg, workdir=tmp_path / "run")
+        state = tr.fit(loader, steps=4)
+        assert int(state.step) == 4
+
+        # new trainer instance resumes from step 4 and trains to 6
+        tr2 = Trainer(cfg, workdir=tmp_path / "run")
+        state2 = tr2.fit(loader, steps=6)
+        assert int(state2.step) == 6
+        tr2.ckpt.close()
+        tr.ckpt.close()
+
+
+def test_dp_sharded_step_matches_single_device():
+    """SURVEY §4: sharded step ≡ single-device step on the 8 fake devices."""
+    tiles = _tiles(n=8)
+    cfg1 = _cfg("srcnn").replace(train=_cfg("srcnn").train.__class__(dp=1, steps=1))
+    cfg8 = _cfg("srcnn").replace(train=_cfg("srcnn").train.__class__(dp=8, steps=1))
+    tr1, tr8 = Trainer(cfg1), Trainer(cfg8)
+    s1, s8 = tr1.init_state(0), tr8.init_state(0)
+    for _ in range(3):
+        s1, m1 = tr1.train_step(s1, tiles)
+        s8, m8 = tr8.train_step(s8, tiles)
+        jax.block_until_ready((m1, m8))
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-5)
+    p1 = jax.tree.leaves(s1.params)
+    p8 = jax.tree.leaves(s8.params)
+    for a, b in zip(p1, p8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_bf16_trunk_runs():
+    tr = Trainer(_cfg("espcn", bf16=True))
+    state = tr.init_state(0)
+    state, m = tr.train_step(state, _tiles())
+    assert np.isfinite(float(m["loss"]))
+    # params stay f32
+    assert all(p.dtype == np.float32 for p in jax.tree.leaves(state.params))
