@@ -1,0 +1,221 @@
+"""``sr`` command-line interface (L5 of SURVEY §1b).
+
+Replaces the reference's per-paper ``python <experiment>.py --flag=...``
+scripts (SURVEY §2a "Config") with one CLI over the model registry:
+
+    sr train   --model espcn --scale 3 --data DIR --workdir runs/espcn3
+    sr eval    --workdir runs/espcn3 [--data SET_DIR]
+    sr upscale --workdir runs/espcn3 --input in.png --output out.png
+    sr bench
+
+Every run directory is self-describing (config.json beside the checkpoints),
+so ``eval``/``upscale`` need only ``--workdir``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+
+def _add_train_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--model", default="srcnn",
+                   choices=["srcnn", "espcn", "vdsr", "srresnet", "srgan"])
+    p.add_argument("--scale", type=int, default=2, choices=[2, 3, 4, 8])
+    p.add_argument("--data", default="", help="HR image dir (synthetic if empty)")
+    p.add_argument("--eval-data", default="", help="benchmark set dir")
+    p.add_argument("--workdir", default="", help="run dir (ckpts + metrics)")
+    p.add_argument("--steps", type=int, default=100_000)
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--patch-size", type=int, default=0, help="0 = per-model default")
+    p.add_argument("--lr", type=float, default=0.0, help="0 = per-model default")
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--dp", type=int, default=0, help="data-parallel devices (0=all)")
+    p.add_argument("--ema", type=float, default=0.0)
+    p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--pretrain-steps", type=int, default=0, help="srgan MSE phase")
+    p.add_argument("--vgg-weights", default="", help="VGG19 npz/h5 for srgan")
+    p.add_argument("--eval-every", type=int, default=2000)
+    p.add_argument("--ckpt-every", type=int, default=2000)
+    p.add_argument("--log-every", type=int, default=100)
+    p.add_argument("--seed", type=int, default=0)
+
+
+# Per-paper training defaults (SURVEY §2a table).
+_MODEL_DEFAULTS = {
+    "srcnn": dict(patch=33, lr=1e-4, clip=0.0),
+    "espcn": dict(patch=51, lr=1e-4, clip=0.0),
+    "vdsr": dict(patch=41, lr=1e-3, clip=0.5),  # high LR + clipping, paper §3.3
+    "srresnet": dict(patch=96, lr=1e-4, clip=0.0),
+    "srgan": dict(patch=96, lr=1e-4, clip=0.0),
+}
+
+
+def _config_from_args(args) -> "ExperimentConfig":
+    from ml_super_resolution_tpu.utils.config import (
+        DataConfig,
+        ExperimentConfig,
+        ModelConfig,
+        TrainConfig,
+    )
+
+    d = _MODEL_DEFAULTS[args.model]
+    channels = 3 if args.model in ("srresnet", "srgan") else 1
+    patch = args.patch_size or d["patch"]
+    patch -= patch % args.scale  # keep LR/HR grids aligned
+    return ExperimentConfig(
+        model=ModelConfig(name=args.model, scale=args.scale, channels=channels),
+        data=DataConfig(
+            train_dir=args.data,
+            eval_dir=args.eval_data,
+            patch_size=patch,
+            batch_size=args.batch_size,
+            tile_size=max(192, patch),
+            seed=args.seed,
+        ),
+        train=TrainConfig(
+            steps=args.steps,
+            learning_rate=args.lr or d["lr"],
+            grad_clip_norm=d["clip"],
+            bf16=args.bf16,
+            dp=args.dp,
+            ema_decay=args.ema,
+            resume=not args.no_resume,
+            pretrain_steps=args.pretrain_steps,
+            eval_every=args.eval_every,
+            ckpt_every=args.ckpt_every,
+            log_every=args.log_every,
+        ),
+    )
+
+
+def cmd_train(args) -> int:
+    from ml_super_resolution_tpu.data.datasets import load_eval_images, make_dataset
+    from ml_super_resolution_tpu.data.loader import TileLoader
+
+    cfg = _config_from_args(args)
+    workdir = args.workdir or f"runs/{args.model}_x{args.scale}"
+    ds = make_dataset(cfg.data.train_dir or None, n=800, size=256, seed=cfg.data.seed)
+    eval_imgs = load_eval_images(cfg.data.eval_dir or None)
+    loader = TileLoader(
+        ds,
+        batch_size=cfg.data.batch_size,
+        tile_size=cfg.data.tile_size,
+        patches_per_tile=cfg.data.patches_per_tile,
+        num_workers=cfg.data.num_workers,
+        seed=cfg.data.seed,
+    )
+    with loader:
+        if args.model == "srgan":
+            from ml_super_resolution_tpu.train.gan import GANTrainer
+
+            trainer = GANTrainer(
+                cfg, workdir=workdir, vgg_weights=args.vgg_weights or None
+            )
+            trainer.fit(loader, eval_images=eval_imgs, seed=args.seed)
+        else:
+            from ml_super_resolution_tpu.train.trainer import Trainer
+
+            trainer = Trainer(cfg, workdir=workdir)
+            state = trainer.fit(loader, eval_images=eval_imgs, seed=args.seed)
+            final = trainer.evaluate(state, eval_imgs)
+            print(json.dumps({"final_eval": final}))
+    return 0
+
+
+def _load_run(workdir: str):
+    """Rebuild trainer + latest state from a self-describing run dir."""
+    from ml_super_resolution_tpu.train.trainer import Trainer
+    from ml_super_resolution_tpu.utils.config import ExperimentConfig
+
+    wd = Path(workdir)
+    cfg = ExperimentConfig.load(wd / "ckpts" / "config.json")
+    cfg = cfg.replace(train=dataclasses.replace(cfg.train, dp=1))
+    trainer = Trainer(cfg, workdir=None)
+    trainer.ckpt = None
+    from ml_super_resolution_tpu.train.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(wd / "ckpts", max_to_keep=1)
+    template = trainer.init_state(0)
+    restored = mgr.restore_latest(template)
+    if restored is None:
+        raise SystemExit(f"no checkpoint under {wd}/ckpts")
+    state, step = restored
+    return trainer, state, step, cfg
+
+
+def cmd_eval(args) -> int:
+    from ml_super_resolution_tpu.data.datasets import load_eval_images
+
+    trainer, state, step, cfg = _load_run(args.workdir)
+    imgs = load_eval_images(args.data or cfg.data.eval_dir or None)
+    out = trainer.evaluate(state, imgs)
+    print(json.dumps({"step": step, "n_images": len(imgs), **out}))
+    return 0
+
+
+def cmd_upscale(args) -> int:
+    from PIL import Image
+
+    from ml_super_resolution_tpu.infer import upscale_image
+    from ml_super_resolution_tpu.parallel.mesh import make_mesh
+
+    trainer, state, step, cfg = _load_run(args.workdir)
+    variables = {"params": trainer.eval_params(state)}
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats
+    mesh = make_mesh(dp=1, sp=args.tiles) if args.tiles > 1 else None
+    img = np.asarray(Image.open(args.input).convert("RGB"))
+    sr = upscale_image(
+        trainer.model, variables, img, cfg.model.name, cfg.model.scale, mesh=mesh
+    )
+    Image.fromarray(sr).save(args.output)
+    print(json.dumps({
+        "input": list(img.shape), "output": list(sr.shape),
+        "model": cfg.model.name, "scale": cfg.model.scale, "step": step,
+    }))
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import bench  # repo-root harness
+
+    bench.main()
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="sr", description=__doc__)
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p_train = sub.add_parser("train", help="train a model")
+    _add_train_args(p_train)
+    p_train.set_defaults(fn=cmd_train)
+
+    p_eval = sub.add_parser("eval", help="evaluate a run on a benchmark set")
+    p_eval.add_argument("--workdir", required=True)
+    p_eval.add_argument("--data", default="", help="benchmark dir (Set5 layout)")
+    p_eval.set_defaults(fn=cmd_eval)
+
+    p_up = sub.add_parser("upscale", help="upscale an image with a trained run")
+    p_up.add_argument("--workdir", required=True)
+    p_up.add_argument("--input", required=True)
+    p_up.add_argument("--output", required=True)
+    p_up.add_argument("--tiles", type=int, default=1,
+                      help="spatial shards for tiled inference")
+    p_up.set_defaults(fn=cmd_upscale)
+
+    p_bench = sub.add_parser("bench", help="run the benchmark harness")
+    p_bench.set_defaults(fn=cmd_bench)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

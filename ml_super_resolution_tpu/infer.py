@@ -47,6 +47,13 @@ def upscale_frames(
     lr_space = spec["lr_space"]
     halo = spec["rf_radius"](scale)
 
+    if mesh is not None and mesh.shape.get("space", 1) > 1:
+        # params may be committed to a single device; replicate them over the
+        # tiling mesh so the shard_map closure sees mesh-consistent operands
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        variables = jax.device_put(variables, NamedSharding(mesh, PartitionSpec()))
+
     x = frames_u8.astype(jnp.float32) / 255.0
 
     if y_only:

@@ -1,0 +1,288 @@
+"""SRGAN adversarial trainer (arXiv:1609.04802; BASELINE.json:10).
+
+Two-phase protocol per the paper: the generator (SRResNet) is first
+pretrained with MSE (use the plain ``Trainer`` — ``pretrain_steps``), then
+trained adversarially: each step updates the discriminator on real/fake HR
+patches and the generator on
+``perceptual_weight * VGG54-MSE + pixel MSE + adversarial_weight * BCE``.
+
+TPU shape: the entire alternating step — pair synthesis, G forward, D on
+real+fake (one concatenated batch, single BN pass per half), both optimizer
+updates — is ONE jitted XLA program with donated state, batch sharded over
+the ``data`` axis like the plain trainer.  GAN-stability details per
+SURVEY §7: discriminator logits and VGG features stay f32 even when the
+trunks run bf16.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Any, Iterable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ml_super_resolution_tpu.models import build_model
+from ml_super_resolution_tpu.models.srresnet import SRGANDiscriminator
+from ml_super_resolution_tpu.models.vgg import VGG19Features, load_vgg19_params
+from ml_super_resolution_tpu.ops.patches import training_pairs
+from ml_super_resolution_tpu.train.checkpoint import CheckpointManager
+from ml_super_resolution_tpu.train.trainer import Trainer, make_optimizer
+from ml_super_resolution_tpu.utils.config import ExperimentConfig
+from ml_super_resolution_tpu.utils.logging import MetricsLogger
+
+
+class GANState(struct.PyTreeNode):
+    step: jnp.ndarray
+    g_params: Any
+    g_stats: Any
+    g_opt: Any
+    d_params: Any
+    d_stats: Any
+    d_opt: Any
+    rng: jax.Array
+
+
+def _bce_logits(logits: jnp.ndarray, target: float) -> jnp.ndarray:
+    """Mean binary cross-entropy with logits against a constant target."""
+    t = jnp.full_like(logits, target)
+    return jnp.mean(
+        optax.sigmoid_binary_cross_entropy(logits.astype(jnp.float32), t)
+    )
+
+
+class GANTrainer:
+    """Adversarial phase; generator architecture/config = 'srgan' registry."""
+
+    def __init__(
+        self,
+        cfg: ExperimentConfig,
+        workdir: str | Path | None = None,
+        vgg_weights: str | None = None,
+    ):
+        assert cfg.model.name in ("srgan", "srresnet")
+        self.cfg = cfg
+        overrides = dict(cfg.model.overrides)
+        if cfg.train.bf16:
+            overrides.setdefault("dtype", jnp.bfloat16)
+        self.generator = build_model(
+            cfg.model.__class__(
+                name=cfg.model.name, scale=cfg.model.scale,
+                channels=cfg.model.channels, overrides=overrides,
+            )
+        )
+        self.discriminator = SRGANDiscriminator(
+            dtype=jnp.bfloat16 if cfg.train.bf16 else jnp.float32
+        )
+        # VGG54 feature network (frozen); f32 always (stability).
+        self.vgg = VGG19Features(stop_block=5, stop_conv=4)
+        self._vgg_weights_path = vgg_weights
+
+        self.g_tx = make_optimizer(cfg.train)
+        self.d_tx = make_optimizer(cfg.train)
+
+        dp = cfg.train.dp or len(jax.devices())
+        self.mesh = Mesh(np.asarray(jax.devices()[:dp]).reshape(dp), ("data",))
+        self.batch_sharding = NamedSharding(self.mesh, P("data"))
+        self.replicated = NamedSharding(self.mesh, P())
+
+        self.workdir = Path(workdir) if workdir else None
+        self.logger = MetricsLogger(self.workdir, echo=True)
+        self.ckpt: CheckpointManager | None = None
+        if self.workdir:
+            self.ckpt = CheckpointManager(
+                self.workdir / cfg.train.ckpt_dir, cfg.train.max_to_keep
+            )
+            self.ckpt.save_config(cfg)
+
+        self.vgg_params = None  # set in init_state
+        self.vgg_pretrained = False
+
+        self._gan_step = jax.jit(
+            self._step_impl,
+            donate_argnums=(0,),
+            in_shardings=(self.replicated, self.batch_sharding),
+            out_shardings=(self.replicated, self.replicated),
+        )
+
+    # ------------------------------------------------------------- state --
+    def init_state(self, seed: int = 0, g_params=None, g_stats=None) -> GANState:
+        """Fresh state; pass ``g_params`` to start from an MSE-pretrained
+        generator (the paper's protocol)."""
+        c = self.cfg
+        patch = c.data.patch_size
+        lr_patch = patch // c.model.scale
+        g_dummy = jnp.zeros((1, lr_patch, lr_patch, c.model.channels), jnp.float32)
+        d_dummy = jnp.zeros((1, patch, patch, c.model.channels), jnp.float32)
+        kg, kd, kv = jax.random.split(jax.random.key(seed), 3)
+        g_vars = self.generator.init(kg, g_dummy, train=False)
+        d_vars = self.discriminator.init(kd, d_dummy, train=False)
+        vgg_vars = self.vgg.init(kv, d_dummy)
+        self.vgg_params, self.vgg_pretrained = load_vgg19_params(
+            self._vgg_weights_path, vgg_vars["params"]
+        )
+        if not self.vgg_pretrained:
+            self.logger.log("warn", 0, vgg="random-init (no weights file; see models/vgg.py)")
+        state = GANState(
+            step=jnp.zeros((), jnp.int32),
+            g_params=g_params if g_params is not None else g_vars["params"],
+            g_stats=g_stats if g_stats is not None else g_vars.get("batch_stats", {}),
+            g_opt=None,
+            d_params=d_vars["params"],
+            d_stats=d_vars.get("batch_stats", {}),
+            d_opt=self.d_tx.init(d_vars["params"]),
+            rng=jax.random.PRNGKey(seed),
+        )
+        state = state.replace(g_opt=self.g_tx.init(state.g_params))
+        self.vgg_params = jax.device_put(self.vgg_params, self.replicated)
+        return jax.device_put(state, self.replicated)
+
+    # -------------------------------------------------------------- step --
+    def _g_apply(self, params, stats, x, train):
+        variables = {"params": params}
+        if stats:
+            variables["batch_stats"] = stats
+            out, mut = self.generator.apply(
+                variables, x, train=train, mutable=["batch_stats"]
+            )
+            return out, mut["batch_stats"]
+        return self.generator.apply(variables, x, train=train), stats
+
+    def _d_apply(self, params, stats, x, train):
+        variables = {"params": params}
+        if stats:
+            variables["batch_stats"] = stats
+            out, mut = self.discriminator.apply(
+                variables, x, train=train, mutable=["batch_stats"]
+            )
+            return out, mut["batch_stats"]
+        return self.discriminator.apply(variables, x, train=train), stats
+
+    def _step_impl(self, state: GANState, tiles: jnp.ndarray):
+        c = self.cfg
+        key = jax.random.fold_in(state.rng, state.step)
+        lr_b, hr_b = training_pairs(
+            key, tiles,
+            patch_size=c.data.patch_size, scale=c.model.scale,
+            y_only=False, lr_space=True, augment=c.data.augment,
+        )
+
+        # ---- discriminator update (G frozen) -----------------------------
+        fake, _ = self._g_apply(state.g_params, state.g_stats, lr_b, train=False)
+        fake = jax.lax.stop_gradient(fake)
+
+        def d_loss_fn(d_params, d_stats):
+            both = jnp.concatenate([hr_b, fake], axis=0)
+            logits, new_stats = self._d_apply(d_params, d_stats, both, train=True)
+            real_logits, fake_logits = jnp.split(logits, 2, axis=0)
+            loss = _bce_logits(real_logits, 1.0) + _bce_logits(fake_logits, 0.0)
+            return loss, (new_stats, real_logits, fake_logits)
+
+        (d_loss, (d_stats, real_lg, fake_lg)), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True
+        )(state.d_params, state.d_stats)
+        d_updates, d_opt = self.d_tx.update(d_grads, state.d_opt, state.d_params)
+        d_params = optax.apply_updates(state.d_params, d_updates)
+
+        # ---- generator update (new D frozen) -----------------------------
+        vgg_hr = self.vgg.apply({"params": self.vgg_params}, hr_b)
+
+        def g_loss_fn(g_params, g_stats):
+            sr, new_stats = self._g_apply(g_params, g_stats, lr_b, train=True)
+            pixel = jnp.mean(jnp.square(sr - hr_b))
+            vgg_sr = self.vgg.apply({"params": self.vgg_params}, sr)
+            percep = jnp.mean(jnp.square(vgg_sr - vgg_hr))
+            logits, _ = self._d_apply(d_params, d_stats, sr, train=False)
+            adv = _bce_logits(logits, 1.0)
+            loss = (
+                pixel
+                + c.train.perceptual_weight * percep
+                + c.train.adversarial_weight * adv
+            )
+            return loss, (new_stats, pixel, percep, adv)
+
+        (g_loss, (g_stats, pixel, percep, adv)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True
+        )(state.g_params, state.g_stats)
+        g_updates, g_opt = self.g_tx.update(g_grads, state.g_opt, state.g_params)
+        g_params = optax.apply_updates(state.g_params, g_updates)
+
+        metrics = {
+            "d_loss": d_loss,
+            "g_loss": g_loss,
+            "pixel": pixel,
+            "perceptual": percep,
+            "adversarial": adv,
+            "d_real_acc": jnp.mean((real_lg > 0).astype(jnp.float32)),
+            "d_fake_acc": jnp.mean((fake_lg < 0).astype(jnp.float32)),
+        }
+        return (
+            state.replace(
+                step=state.step + 1,
+                g_params=g_params, g_stats=g_stats, g_opt=g_opt,
+                d_params=d_params, d_stats=d_stats, d_opt=d_opt,
+            ),
+            metrics,
+        )
+
+    def train_step(self, state: GANState, tiles: np.ndarray):
+        return self._gan_step(state, tiles)
+
+    # --------------------------------------------------------------- fit --
+    def pretrain(self, loader: Iterable[np.ndarray], steps: int, seed: int = 0):
+        """Phase 1: MSE-only SRResNet pretrain via the shared Trainer."""
+        import dataclasses
+
+        mse_cfg = self.cfg.replace(
+            train=dataclasses.replace(self.cfg.train, steps=steps)
+        )
+        tr = Trainer(mse_cfg, workdir=None)
+        st = tr.init_state(seed)
+        it = iter(loader)
+        for _ in range(steps):
+            st, _m = tr.train_step(st, next(it))
+        return st.params, st.batch_stats
+
+    def fit(
+        self,
+        loader: Iterable[np.ndarray],
+        steps: int | None = None,
+        seed: int = 0,
+        eval_images: Sequence[np.ndarray] | None = None,
+    ) -> GANState:
+        c = self.cfg
+        steps = steps or c.train.steps
+        g_params = g_stats = None
+        if c.train.pretrain_steps > 0:
+            self.logger.log("pretrain", 0, steps=c.train.pretrain_steps)
+            g_params, g_stats = self.pretrain(loader, c.train.pretrain_steps, seed)
+        state = self.init_state(seed, g_params, g_stats)
+        start = 0
+        if self.ckpt and c.train.resume:
+            restored = self.ckpt.restore_latest(state)
+            if restored is not None:
+                state, start = restored
+                self.logger.log("resume", start)
+        it = iter(loader)
+        t0 = time.perf_counter()
+        for step in range(start, steps):
+            state, metrics = self.train_step(state, next(it))
+            if (step + 1) % c.train.log_every == 0 or step == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                dt = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                self.logger.log(
+                    "gan", step + 1, **m,
+                    steps_per_s=(c.train.log_every if step else 1) / dt,
+                )
+            if self.ckpt and (step + 1) % c.train.ckpt_every == 0:
+                self.ckpt.save(step + 1, jax.device_get(state))
+        if self.ckpt:
+            self.ckpt.save(steps, jax.device_get(state))
+            self.ckpt.wait()
+        return state

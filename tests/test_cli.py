@@ -1,0 +1,53 @@
+"""CLI end-to-end: train -> eval -> upscale round trip on tiny settings."""
+
+import json
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from ml_super_resolution_tpu.cli import main
+
+
+def test_cli_train_eval_upscale(tmp_path, capsys):
+    wd = tmp_path / "run"
+    rc = main([
+        "train", "--model", "espcn", "--scale", "2",
+        "--workdir", str(wd), "--steps", "4", "--batch-size", "4",
+        "--patch-size", "32", "--dp", "1",
+        "--ckpt-every", "2", "--eval-every", "1000", "--log-every", "2",
+    ])
+    assert rc == 0
+    assert (wd / "ckpts" / "config.json").exists()
+    capsys.readouterr()
+
+    rc = main(["eval", "--workdir", str(wd)])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["step"] == 4
+    assert 3 < out["psnr"] < 60
+
+    src = tmp_path / "in.png"
+    rng = np.random.default_rng(0)
+    Image.fromarray((rng.random((40, 48, 3)) * 255).astype(np.uint8)).save(src)
+    dst = tmp_path / "out.png"
+    rc = main([
+        "upscale", "--workdir", str(wd), "--input", str(src), "--output", str(dst),
+    ])
+    assert rc == 0
+    sr = np.asarray(Image.open(dst))
+    assert sr.shape == (80, 96, 3)
+
+    # tiled upscale gives the identical file
+    dst2 = tmp_path / "out_tiled.png"
+    rc = main([
+        "upscale", "--workdir", str(wd), "--input", str(src),
+        "--output", str(dst2), "--tiles", "4",
+    ])
+    assert rc == 0
+    np.testing.assert_array_equal(np.asarray(Image.open(dst2)), sr)
+
+
+def test_cli_eval_missing_run(tmp_path):
+    with pytest.raises((SystemExit, FileNotFoundError)):
+        main(["eval", "--workdir", str(tmp_path / "nope")])

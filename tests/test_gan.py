@@ -1,0 +1,82 @@
+"""SRGAN adversarial trainer tests (SURVEY §3.4 call-stack parity)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from ml_super_resolution_tpu.data.datasets import SyntheticImages
+from ml_super_resolution_tpu.data.loader import TileLoader
+from ml_super_resolution_tpu.train.gan import GANTrainer
+from ml_super_resolution_tpu.utils.config import (
+    DataConfig,
+    ExperimentConfig,
+    ModelConfig,
+    TrainConfig,
+)
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return ExperimentConfig(
+        model=ModelConfig(
+            name="srgan", scale=4, channels=3, overrides={"num_blocks": 1}
+        ),
+        data=DataConfig(tile_size=64, patch_size=32, batch_size=4),
+        train=TrainConfig(
+            steps=2, learning_rate=1e-4, log_every=10**9, ckpt_every=10**9,
+            dp=1,  # batch of 4 on the 8-virtual-device CI host
+        ),
+    )
+
+
+def _tiles(n=4, size=64, seed=0):
+    ds = SyntheticImages(n=n, size=size, seed=seed)
+    return np.stack([ds.decode(i) for i in range(n)])
+
+
+def test_gan_step_updates_both_networks(cfg):
+    tr = GANTrainer(cfg)
+    state = tr.init_state(0)
+    g0 = jax.tree.leaves(state.g_params)[0].copy()
+    d0 = jax.tree.leaves(state.d_params)[0].copy()
+    state, m = tr.train_step(state, _tiles())
+    jax.block_until_ready(m)
+    for k in ("d_loss", "g_loss", "pixel", "perceptual", "adversarial"):
+        assert np.isfinite(float(m[k])), k
+    assert not np.allclose(np.asarray(jax.tree.leaves(state.g_params)[0]), np.asarray(g0))
+    assert not np.allclose(np.asarray(jax.tree.leaves(state.d_params)[0]), np.asarray(d0))
+    assert int(state.step) == 1
+
+
+def test_gan_two_steps_stable(cfg):
+    tr = GANTrainer(cfg)
+    state = tr.init_state(0)
+    tiles = _tiles()
+    for _ in range(2):
+        state, m = tr.train_step(state, tiles)
+        jax.block_until_ready(m)
+    assert np.isfinite(float(m["g_loss"]))
+
+
+def test_gan_fit_with_pretrain(cfg, tmp_path):
+    import dataclasses
+
+    c = cfg.replace(
+        train=dataclasses.replace(cfg.train, steps=2, pretrain_steps=2, log_every=1)
+    )
+    ds = SyntheticImages(n=4, size=64, seed=1)
+    with TileLoader(ds, batch_size=4, tile_size=64, num_workers=1) as loader:
+        tr = GANTrainer(c, workdir=tmp_path / "gan")
+        state = tr.fit(loader)
+        assert int(state.step) == 2
+        tr.ckpt.close()
+    assert (tmp_path / "gan" / "ckpts" / "config.json").exists()
+
+
+def test_discriminator_accuracy_metrics_bounded(cfg):
+    tr = GANTrainer(cfg)
+    state = tr.init_state(0)
+    state, m = tr.train_step(state, _tiles())
+    assert 0.0 <= float(m["d_real_acc"]) <= 1.0
+    assert 0.0 <= float(m["d_fake_acc"]) <= 1.0
