@@ -38,9 +38,19 @@ class ImageFolder:
         return len(self.paths)
 
     def decode(self, i: int) -> np.ndarray:
+        path = self.paths[i]
+        if path.suffix.lower() == ".png":
+            # native zlib decoder (native/srio.cc); PIL for exotic variants
+            try:
+                from ml_super_resolution_tpu.data import native
+
+                if native.available():
+                    return native.decode_png_file(path)
+            except Exception:
+                pass
         from PIL import Image
 
-        with Image.open(self.paths[i]) as im:
+        with Image.open(path) as im:
             return np.asarray(im.convert("RGB"), dtype=np.uint8)
 
     def __iter__(self) -> Iterator[np.ndarray]:

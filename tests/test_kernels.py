@@ -1,0 +1,51 @@
+"""Pallas kernel goldens vs XLA references (interpret mode on CPU CI)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ml_super_resolution_tpu.kernels.residual import (
+    conv_residual_add,
+    conv_residual_add_reference,
+)
+from ml_super_resolution_tpu.kernels.subpixel import (
+    conv_pixel_shuffle,
+    conv_pixel_shuffle_reference,
+)
+
+
+@pytest.mark.parametrize("r,cin,cout", [(2, 32, 1), (3, 16, 1), (4, 32, 3)])
+def test_conv_pixel_shuffle_matches_reference(rng, r, cin, cout):
+    n, h, w = 2, 16, 24
+    x = jnp.asarray(rng.standard_normal((n, h, w, cin)).astype(np.float32))
+    wgt = jnp.asarray(
+        rng.standard_normal((3, 3, cin, r * r * cout)).astype(np.float32) * 0.1
+    )
+    b = jnp.asarray(rng.standard_normal((r * r * cout,)).astype(np.float32))
+    want = conv_pixel_shuffle_reference(x, wgt, b, r)
+    got = conv_pixel_shuffle(x, wgt, b, r, tile_h=8, interpret=True)
+    assert got.shape == (n, h * r, w * r, cout)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_conv_pixel_shuffle_rejects_bad_tile(rng):
+    x = jnp.zeros((1, 10, 8, 4))
+    wgt = jnp.zeros((3, 3, 4, 4))
+    b = jnp.zeros((4,))
+    with pytest.raises(ValueError):
+        conv_pixel_shuffle(x, wgt, b, 2, tile_h=8, interpret=True)
+
+
+@pytest.mark.parametrize("cin,cout", [(64, 1), (32, 3)])
+def test_conv_residual_add_matches_reference(rng, cin, cout):
+    n, h, w = 2, 16, 20
+    feats = jnp.asarray(rng.standard_normal((n, h, w, cin)).astype(np.float32))
+    skip = jnp.asarray(rng.standard_normal((n, h, w, cout)).astype(np.float32))
+    wgt = jnp.asarray(
+        rng.standard_normal((3, 3, cin, cout)).astype(np.float32) * 0.1
+    )
+    b = jnp.asarray(rng.standard_normal((cout,)).astype(np.float32))
+    want = conv_residual_add_reference(feats, skip, wgt, b)
+    got = conv_residual_add(feats, skip, wgt, b, tile_h=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
