@@ -38,6 +38,8 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--dp", type=int, default=0, help="data-parallel devices (0=all)")
     p.add_argument("--ema", type=float, default=0.0)
     p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--multi-scale", action="store_true",
+                   help="VDSR joint x2/x3/x4 training (pre-upscale models)")
     p.add_argument("--pretrain-steps", type=int, default=0, help="srgan MSE phase")
     p.add_argument("--vgg-weights", default="", help="VGG19 npz/h5 for srgan")
     p.add_argument("--eval-every", type=int, default=2000)
@@ -76,6 +78,7 @@ def _config_from_args(args) -> "ExperimentConfig":
             patch_size=patch,
             batch_size=args.batch_size,
             tile_size=max(192, patch),
+            scales=(2, 3, 4) if getattr(args, "multi_scale", False) else (),
             seed=args.seed,
         ),
         train=TrainConfig(
@@ -160,9 +163,10 @@ def cmd_eval(args) -> int:
 
 
 def cmd_upscale(args) -> int:
+    import jax.numpy as jnp
     from PIL import Image
 
-    from ml_super_resolution_tpu.infer import upscale_image
+    from ml_super_resolution_tpu.infer import upscale_frames, upscale_image
     from ml_super_resolution_tpu.parallel.mesh import make_mesh
 
     trainer, state, step, cfg = _load_run(args.workdir)
@@ -170,11 +174,41 @@ def cmd_upscale(args) -> int:
     if state.batch_stats:
         variables["batch_stats"] = state.batch_stats
     mesh = make_mesh(dp=1, sp=args.tiles) if args.tiles > 1 else None
-    img = np.asarray(Image.open(args.input).convert("RGB"))
+
+    in_path, out_path = Path(args.input), Path(args.output)
+    if in_path.is_dir():
+        # video-as-frames directory (SURVEY §3.3): batch same-size frames
+        from ml_super_resolution_tpu.data.datasets import ImageFolder
+
+        ds = ImageFolder(in_path)
+        out_path.mkdir(parents=True, exist_ok=True)
+        frames = [ds.decode(i) for i in range(len(ds))]
+        names = [p.name for p in ds.paths]
+        done = 0
+        batch = args.batch
+        for i in range(0, len(frames), batch):
+            chunk = frames[i : i + batch]
+            if len({f.shape for f in chunk}) == 1:
+                sr = np.asarray(upscale_frames(
+                    trainer.model, variables, jnp.asarray(np.stack(chunk)),
+                    cfg.model.name, cfg.model.scale, mesh=mesh,
+                ))
+            else:  # mixed sizes: per frame
+                sr = [upscale_image(trainer.model, variables, f,
+                                    cfg.model.name, cfg.model.scale, mesh=mesh)
+                      for f in chunk]
+            for j, img in enumerate(sr):
+                Image.fromarray(np.asarray(img)).save(out_path / names[i + j])
+                done += 1
+        print(json.dumps({"frames": done, "model": cfg.model.name,
+                          "scale": cfg.model.scale, "step": step}))
+        return 0
+
+    img = np.asarray(Image.open(in_path).convert("RGB"))
     sr = upscale_image(
         trainer.model, variables, img, cfg.model.name, cfg.model.scale, mesh=mesh
     )
-    Image.fromarray(sr).save(args.output)
+    Image.fromarray(sr).save(out_path)
     print(json.dumps({
         "input": list(img.shape), "output": list(sr.shape),
         "model": cfg.model.name, "scale": cfg.model.scale, "step": step,
@@ -208,6 +242,8 @@ def main(argv=None) -> int:
     p_up.add_argument("--output", required=True)
     p_up.add_argument("--tiles", type=int, default=1,
                       help="spatial shards for tiled inference")
+    p_up.add_argument("--batch", type=int, default=8,
+                      help="frames per device batch for directory input")
     p_up.set_defaults(fn=cmd_upscale)
 
     p_bench = sub.add_parser("bench", help="run the benchmark harness")

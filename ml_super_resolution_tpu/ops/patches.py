@@ -105,6 +105,47 @@ def training_pairs(
     return lr, hr
 
 
+@partial(
+    jax.jit,
+    static_argnames=("patch_size", "scales", "y_only", "augment"),
+)
+def training_pairs_multiscale(
+    key: jax.Array,
+    hr_tiles: jnp.ndarray,
+    patch_size: int,
+    scales: tuple[int, ...],
+    y_only: bool = True,
+    augment: bool = True,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Multi-scale pairs for pre-upscale models (VDSR protocol, arXiv:1511.04587 §4.2).
+
+    One network is trained jointly over ``scales``: each example in the batch
+    draws a scale, is bicubic-degraded by it, and re-upscaled to HR size, so
+    inputs keep one static shape while mixing all scales in every batch —
+    ``lax.switch`` over per-scale branches, vmapped over the batch.
+    """
+    if hr_tiles.dtype == jnp.uint8:
+        hr_tiles = hr_tiles.astype(jnp.float32) / 255.0
+    k_crop, k_scale = jax.random.split(key)
+    # crop on the grid of the largest scale so all branches stay aligned
+    hr = random_hr_patches(k_crop, hr_tiles, patch_size, max(scales), augment)
+    if y_only:
+        hr = rgb_to_y(hr)
+    idx = jax.random.randint(k_scale, (hr.shape[0],), 0, len(scales))
+
+    def degrade_one(img, i):
+        branches = [
+            (lambda im, s=s: imresize(
+                imresize(im, scale=1.0 / s), out_shape=(patch_size, patch_size)
+            ))
+            for s in scales
+        ]
+        return jax.lax.switch(i, branches, img)
+
+    lr = jax.vmap(degrade_one)(hr, idx)
+    return lr, hr
+
+
 def eval_pair(
     hr_image: jnp.ndarray, scale: int, y_only: bool, lr_space: bool
 ) -> tuple[jnp.ndarray, jnp.ndarray]:

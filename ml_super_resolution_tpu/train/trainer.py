@@ -158,15 +158,27 @@ class Trainer:
     def _step_impl(self, state: TrainState, tiles: jnp.ndarray):
         c = self.cfg
         key = jax.random.fold_in(state.rng, state.step)
-        lr_batch, hr_batch = training_pairs(
-            key,
-            tiles,
-            patch_size=c.data.patch_size,
-            scale=c.model.scale,
-            y_only=c.model.channels == 1,
-            lr_space=self.spec["lr_space"],
-            augment=c.data.augment,
-        )
+        if c.data.scales and not self.spec["lr_space"]:
+            from ml_super_resolution_tpu.ops.patches import training_pairs_multiscale
+
+            lr_batch, hr_batch = training_pairs_multiscale(
+                key,
+                tiles,
+                patch_size=c.data.patch_size,
+                scales=tuple(c.data.scales),
+                y_only=c.model.channels == 1,
+                augment=c.data.augment,
+            )
+        else:
+            lr_batch, hr_batch = training_pairs(
+                key,
+                tiles,
+                patch_size=c.data.patch_size,
+                scale=c.model.scale,
+                y_only=c.model.channels == 1,
+                lr_space=self.spec["lr_space"],
+                augment=c.data.augment,
+            )
         (loss, (new_stats, _)), grads = jax.value_and_grad(
             self._loss_fn, has_aux=True
         )(state.params, state.batch_stats, lr_batch, hr_batch, True)

@@ -40,6 +40,9 @@ class DataConfig:
     patch_size: int = 96
     batch_size: int = 64
     augment: bool = True
+    # Multi-scale joint training (VDSR protocol): non-empty => each example
+    # draws a scale from this set; pre-upscale models only.
+    scales: tuple = ()
     # Patches-per-tile fanout on device; host decode amortized by this factor.
     patches_per_tile: int = 4
     prefetch: int = 2

@@ -49,3 +49,22 @@ def test_conv_residual_add_matches_reference(rng, cin, cout):
     want = conv_residual_add_reference(feats, skip, wgt, b)
     got = conv_residual_add(feats, skip, wgt, b, tile_h=8, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+@pytest.mark.parametrize("scale", [2, 3, 4])
+def test_espcn_fused_matches_flax(rng, scale):
+    """Fused W-lane ESPCN kernel == flax ESPCN apply (interpret mode)."""
+    from ml_super_resolution_tpu.kernels.espcn_fused import (
+        espcn_fused_forward,
+        extract_espcn_weights,
+    )
+    from ml_super_resolution_tpu.models import ESPCN
+
+    model = ESPCN(scale=scale, channels=1)
+    x = jnp.asarray(rng.random((2, 20, 28, 1)).astype(np.float32))
+    variables = model.init(jax.random.key(0), x)
+    want = np.asarray(model.apply(variables, x))
+    weights = extract_espcn_weights(variables["params"])
+    got = np.asarray(espcn_fused_forward(weights, x, scale, interpret=True))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=3e-6)

@@ -65,3 +65,21 @@ def test_eval_pair_crops_to_scale_grid(rng):
     lr2, hr2 = eval_pair(hr, scale=3, y_only=False, lr_space=False)
     assert hr2.shape == (36, 39, 3)
     assert lr2.shape == (36, 39, 3)
+
+
+def test_multiscale_training_pairs(rng):
+    from ml_super_resolution_tpu.ops.patches import training_pairs_multiscale
+
+    tiles = jnp.asarray(rng.random((6, 96, 96, 3)).astype(np.float32))
+    lr, hr = training_pairs_multiscale(
+        jax.random.key(0), tiles, patch_size=48, scales=(2, 3, 4), y_only=True
+    )
+    assert lr.shape == hr.shape == (6, 48, 48, 1)
+    # degraded inputs differ from targets but correlate strongly
+    d = np.asarray(jnp.mean(jnp.square(lr - hr), axis=(1, 2, 3)))
+    assert (d > 1e-6).all()
+    # deterministic
+    lr2, _ = training_pairs_multiscale(
+        jax.random.key(0), tiles, patch_size=48, scales=(2, 3, 4), y_only=True
+    )
+    np.testing.assert_array_equal(np.asarray(lr), np.asarray(lr2))

@@ -126,3 +126,14 @@ def test_bf16_trunk_runs():
     assert np.isfinite(float(m["loss"]))
     # params stay f32
     assert all(p.dtype == np.float32 for p in jax.tree.leaves(state.params))
+
+
+def test_vdsr_multiscale_training_step():
+    import dataclasses
+
+    cfg = _cfg("vdsr")
+    cfg = cfg.replace(data=dataclasses.replace(cfg.data, scales=(2, 3, 4)))
+    tr = Trainer(cfg)
+    state = tr.init_state(0)
+    state, m = tr.train_step(state, _tiles())
+    assert np.isfinite(float(m["loss"]))
