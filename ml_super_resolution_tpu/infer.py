@@ -35,12 +35,14 @@ def upscale_frames(
     model_name: str,
     scale: int,
     mesh=None,
-    pad_multiple: int | None = None,
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
     """Upscale a batch of LR RGB frames ``(N, h, w, 3)`` uint8 -> HR uint8.
 
     With ``mesh`` (containing a ``space`` axis of size > 1) the conv stack
     runs row-band-tiled with halo exchange; otherwise whole-frame.
+    ``use_pallas`` routes ESPCN through the fully-fused VMEM-resident kernel
+    (kernels/espcn_fused.py); numerically identical, opt-in.
     """
     spec = MODEL_SPECS[model_name]
     y_only = spec["y_only"]
@@ -64,8 +66,22 @@ def upscale_frames(
         net_in = _network_input(x, scale, lr_space)
         chroma = None
 
-    def apply_fn(inp):
-        return model.apply(variables, inp, train=False)
+    tiled = mesh is not None and mesh.shape.get("space", 1) > 1
+    if use_pallas and model_name == "espcn" and y_only and not tiled:
+        from ml_super_resolution_tpu.kernels.espcn_fused import (
+            espcn_fused_forward,
+            extract_espcn_weights,
+        )
+
+        fused_weights = extract_espcn_weights(variables["params"])
+
+        def apply_fn(inp):
+            return espcn_fused_forward(fused_weights, inp, scale)
+
+    else:
+
+        def apply_fn(inp):
+            return model.apply(variables, inp, train=False)
 
     net_scale = scale if lr_space else 1
     net_halo = halo

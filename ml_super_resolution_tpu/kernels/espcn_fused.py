@@ -138,15 +138,24 @@ def _kernel(xp_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, out_ref,
     jax.lax.fori_loop(0, n * nb, step, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
 def espcn_fused_forward(
-    weights: dict, x: jnp.ndarray, scale: int, interpret: bool = False
+    weights: dict, x: jnp.ndarray, scale: int, interpret: bool | None = None
 ) -> jnp.ndarray:
     """Fused ESPCN forward.  x: (N, H, W) or (N, H, W, 1) Y-channel in [0,1].
 
     Returns (N, r*H, r*W, 1) f32, numerically matching the flax ESPCN apply
-    (f32 accumulation throughout).
+    (f32 accumulation throughout).  ``interpret=None`` auto-selects
+    interpreter mode off-TPU.
     """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _espcn_fused_forward(weights, x, scale, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def _espcn_fused_forward(
+    weights: dict, x: jnp.ndarray, scale: int, interpret: bool = False
+) -> jnp.ndarray:
     if x.ndim == 4:
         x = x[..., 0]
     n, h, width = x.shape

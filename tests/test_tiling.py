@@ -123,3 +123,17 @@ def test_upscale_frames_short_frame_falls_back_to_whole(rng):
     mesh = make_mesh(sp=8)
     out = upscale_frames(model, variables, jnp.asarray(frames), "vdsr", 2, mesh=mesh)
     assert out.shape == (1, 48, 48, 3)
+
+
+def test_upscale_frames_pallas_path_matches(rng):
+    """use_pallas (fused ESPCN kernel, interpret on CPU) == flax path."""
+    cfg = ModelConfig(name="espcn", scale=2, channels=1)
+    model = build_model(cfg)
+    dummy = jnp.zeros((1, 8, 8, 1), jnp.float32)
+    variables = model.init(jax.random.key(0), dummy, train=False)
+    frames = (rng.random((2, 24, 32, 3)) * 255).astype(np.uint8)
+    a = upscale_frames(model, variables, jnp.asarray(frames), "espcn", 2)
+    b = upscale_frames(
+        model, variables, jnp.asarray(frames), "espcn", 2, use_pallas=True
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
