@@ -259,7 +259,21 @@ class Trainer:
                 state, start_step = restored
                 self.logger.log("resume", start_step)
 
-        it = iter(loader)
+        # Device prefetch: the uint8 tile batch is the loop's only
+        # host->device transfer; stage the next batch onto the device while
+        # the current step computes (SURVEY §3.5 "one transfer per batch").
+        def prefetched(raw_it):
+            nxt = jax.device_put(next(raw_it), self.batch_sharding)
+            while True:
+                cur = nxt
+                try:
+                    nxt = jax.device_put(next(raw_it), self.batch_sharding)
+                except StopIteration:
+                    yield cur
+                    return
+                yield cur
+
+        it = prefetched(iter(loader))
         t0 = time.perf_counter()
         for step in range(start_step, steps):
             tiles = next(it)
