@@ -18,3 +18,11 @@ from ml_super_resolution_tpu.kernels.residual import (  # noqa: F401
     conv_residual_add,
     conv_residual_add_reference,
 )
+from ml_super_resolution_tpu.kernels.preprocess import (  # noqa: F401
+    preprocess_pairs,
+    preprocess_pairs_reference,
+)
+from ml_super_resolution_tpu.kernels.espcn_fused import (  # noqa: F401
+    espcn_fused_forward,
+    extract_espcn_weights,
+)

@@ -68,3 +68,19 @@ def test_espcn_fused_matches_flax(rng, scale):
     got = np.asarray(espcn_fused_forward(weights, x, scale, interpret=True))
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=3e-6)
+
+
+@pytest.mark.parametrize("scale", [2, 3, 4])
+def test_preprocess_pairs_matches_reference(rng, scale):
+    from ml_super_resolution_tpu.kernels.preprocess import (
+        preprocess_pairs,
+        preprocess_pairs_reference,
+    )
+
+    p = 48 if scale != 4 else 32  # divisible by scale
+    x = jnp.asarray(rng.random((3, p, p, 3)).astype(np.float32))
+    hr, lr = preprocess_pairs(x, scale, interpret=True)
+    hr_ref, lr_ref = preprocess_pairs_reference(x, scale)
+    assert hr.shape == hr_ref.shape and lr.shape == lr_ref.shape
+    np.testing.assert_allclose(np.asarray(hr), np.asarray(hr_ref), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(lr), np.asarray(lr_ref), atol=1e-5)
