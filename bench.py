@@ -75,8 +75,8 @@ def bench_model_mps(name: str, scale: int, out_hw, batch: int, channels: int,
     spec = MODEL_SPECS[name]
     oh, ow = out_hw
     in_h, in_w = (oh // scale, ow // scale) if spec["lr_space"] else (oh, ow)
-    cfg = ModelConfig(name=name, scale=scale, channels=channels,
-                      overrides=dict(overrides or {}))
+    ov = dict(overrides or {})
+    cfg = ModelConfig(name=name, scale=scale, channels=channels, overrides=ov)
     model = build_model(cfg)
     x = jnp.asarray(
         np.random.default_rng(0).random((batch, in_h, in_w, channels)),
@@ -107,19 +107,30 @@ def main():
         "vs_baseline": round(mps / anchor, 2),
     }
 
-    # secondary rows
-    try:
-        mps2, dt2 = bench_model_mps("srresnet", 4, (1080, 1920), batch=1, channels=3)
-        print(f"# srresnet x4 -> 1080p: {mps2:.1f} MP/s ({dt2*1e3:.2f} ms/frame)",
-              file=sys.stderr)
-    except Exception as e:  # never let a secondary row kill the headline
-        print(f"# srresnet bench failed: {e}", file=sys.stderr)
-    try:
-        mps3, dt3 = bench_model_mps("vdsr", 4, (1080, 1920), batch=1, channels=1)
-        print(f"# vdsr x4 -> 1080p: {mps3:.1f} MP/s ({dt3*1e3:.2f} ms/frame)",
-              file=sys.stderr)
-    except Exception as e:
-        print(f"# vdsr bench failed: {e}", file=sys.stderr)
+    # secondary rows (never let one kill the headline)
+    secondaries = [
+        ("espcn-bf16", dict(name="espcn", scale=4, out_hw=(1080, 1920), batch=8,
+                            channels=1, overrides={"dtype": "bf16"})),
+        ("srresnet", dict(name="srresnet", scale=4, out_hw=(1080, 1920), batch=1,
+                          channels=3)),
+        ("vdsr", dict(name="vdsr", scale=4, out_hw=(1080, 1920), batch=1,
+                      channels=1)),
+    ]
+    for label, kw in secondaries:
+        try:
+            ov = kw.pop("overrides", None)
+            if ov and ov.get("dtype") == "bf16":
+                import jax.numpy as jnp
+
+                ov = {"dtype": jnp.bfloat16}
+            mps_i, dt_i = bench_model_mps(
+                kw["name"], kw["scale"], kw["out_hw"], kw["batch"], kw["channels"],
+                overrides=ov,
+            )
+            print(f"# {label} x4 -> 1080p: {mps_i:.1f} MP/s ({dt_i*1e3:.2f} ms)",
+                  file=sys.stderr)
+        except Exception as e:
+            print(f"# {label} bench failed: {e}", file=sys.stderr)
 
     print(json.dumps(result))
 

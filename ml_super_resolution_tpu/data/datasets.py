@@ -83,13 +83,14 @@ class SyntheticImages:
         for c in range(3):
             a, b, ph = rng.uniform(-1, 1, 3)
             img[..., c] = 0.5 + 0.25 * (a * xx + b * yy + 0.3 * np.sin(6.28 * (ph + xx * rng.integers(1, 4))))
-        # oriented sinusoidal ridges (band-limited detail)
-        for _ in range(4):
+        # oriented sinusoidal ridges incl. near-Nyquist detail (SR must
+        # hallucinate these; bicubic cannot)
+        for _ in range(6):
             th = rng.uniform(0, np.pi)
-            freq = rng.uniform(4, 40)
+            freq = rng.uniform(4, s * 0.35)
             phase = rng.uniform(0, 6.28)
             ridge = np.sin(6.28 * freq * (xx * np.cos(th) + yy * np.sin(th)) + phase)
-            img += 0.08 * ridge[..., None] * rng.uniform(0.3, 1.0, 3)
+            img += 0.07 * ridge[..., None] * rng.uniform(0.3, 1.0, 3)
         # sharp polygonal edges (step content — what SR lives on)
         for _ in range(6):
             cx, cy = rng.uniform(0.1, 0.9, 2)
@@ -99,6 +100,29 @@ class SyntheticImages:
                 -(xx - cx) * np.sin(th) + (yy - cy) * np.cos(th)
             ) ** 2 * rng.uniform(1, 8) < r * r
             img[mask] = img[mask] * 0.5 + rng.uniform(0, 1, 3) * 0.5
+        # hard-edged rectangles + thin strokes (text/structure-like content)
+        for _ in range(8):
+            x0, y0 = rng.integers(0, s - 8, 2)
+            w_, h_ = rng.integers(2, max(3, s // 6), 2)
+            fill = rng.uniform(0, 1, 3)
+            img[y0 : min(s, y0 + h_), x0 : min(s, x0 + w_)] = fill
+        for _ in range(6):
+            x0 = rng.integers(0, s - 2)
+            y0 = rng.integers(0, s - 2)
+            ln = int(rng.integers(6, s // 2))
+            thick = int(rng.integers(1, 3))
+            fill = rng.uniform(0, 1, 3)
+            if rng.random() < 0.5:
+                img[y0 : y0 + thick, x0 : min(s, x0 + ln)] = fill
+            else:
+                img[y0 : min(s, y0 + ln), x0 : x0 + thick] = fill
+        # one fine checkerboard patch (the classic aliasing probe)
+        cs = int(rng.integers(1, 3))
+        px, py = rng.integers(0, s // 2, 2)
+        sz = int(rng.integers(s // 8, s // 4))
+        checker = (((np.arange(sz) // cs)[:, None] + (np.arange(sz) // cs)[None, :]) % 2)
+        lo, hi = sorted(rng.uniform(0, 1, 2))
+        img[py : py + sz, px : px + sz] = (lo + (hi - lo) * checker)[..., None]
         # mild texture
         img += rng.normal(0, 0.015, (s, s, 3))
         return (np.clip(img, 0, 1) * 255).round().astype(np.uint8)

@@ -51,3 +51,28 @@ def test_cli_train_eval_upscale(tmp_path, capsys):
 def test_cli_eval_missing_run(tmp_path):
     with pytest.raises((SystemExit, FileNotFoundError)):
         main(["eval", "--workdir", str(tmp_path / "nope")])
+
+
+def test_eval_on_benchmark_folder(tmp_path, capsys):
+    """Set5-style folder of PNGs drives the eval protocol end to end."""
+    from ml_super_resolution_tpu.data.datasets import SyntheticImages
+
+    set_dir = tmp_path / "Set3"
+    set_dir.mkdir()
+    ds = SyntheticImages(n=3, size=128, seed=5)
+    for i in range(3):
+        Image.fromarray(ds.decode(i)).save(set_dir / f"img{i}.png")
+
+    wd = tmp_path / "run"
+    main([
+        "train", "--model", "srcnn", "--scale", "2",
+        "--workdir", str(wd), "--steps", "2", "--batch-size", "4",
+        "--patch-size", "32", "--dp", "1",
+        "--ckpt-every", "2", "--eval-every", "1000", "--log-every", "10",
+    ])
+    capsys.readouterr()
+    rc = main(["eval", "--workdir", str(wd), "--data", str(set_dir)])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_images"] == 3
+    assert 3 < out["psnr"] < 60
