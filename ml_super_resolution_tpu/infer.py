@@ -9,9 +9,6 @@ producing bitwise-identical output (BASELINE.json:11).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -47,87 +47,126 @@ def extract_espcn_weights(params) -> dict:
     return dict(w1=w1, b1=b1, w2=w2, b2=b2, w3=w3, b3=b3)
 
 
-def _pick_tile(h: int, cap: int = 32) -> int:
-    for th in range(min(cap, h), 0, -1):
+def _pick_tile(h: int) -> int:
+    """Row-block height: must be a multiple of 8 — DMA source row offsets
+    need sublane alignment (unaligned offsets fault the TPU worker).
+    Prefer the largest 8k <= 32 dividing h (no padding); else 8 (<= 7 pad rows)."""
+    for th in (32, 24, 16, 8):
         if h % th == 0:
             return th
-    return h
+    return 8
 
 
 def _kernel(xp_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, out_ref,
-            xv, ov, sin, sout, *, n, nb, th, width, wp, f1, f2, r):
+            xv, ov, sin, sout, *, n, nb, th, h, width, wp, f1, f2, r):
     r2 = r * r
+
+    # Mosaic constraint driving this structure: any shape cast that merges or
+    # splits the minor (lane) dim is unsupported, which rules out both
+    # im2col reshapes and dot_general with 3D operands (it flattens
+    # internally).  So each conv is per-output-row: the receptive rows/cols
+    # are concatenated along the MAJOR dim into a (taps*Cin, W) panel and hit
+    # with one 2D MXU matmul — K = taps*Cin (576 for conv2: better MXU
+    # utilization than XLA's K=64 spatial conv).
+
+    def conv_rows(src_rows, w_cat, taps_hw, n_rows):
+        """src_rows: list of 2D (C_in, wp) planes; returns per-row conv outs.
+
+        Every plane/panel keeps the full lane-aligned width wp: Mosaic
+        rejects concats/rolls built from values with non-128-multiple lane
+        extents, and dx-taps are realigned with pltpu.roll so each
+        concatenated piece has lane offset 0.  Garbage in the wrapped-around
+        columns is killed by the per-layer validity masks / final crop.
+        """
+        rows = []
+        kh, kw = taps_hw
+        for h_ in range(n_rows):
+            pieces = []
+            for dy in range(kh):
+                plane = src_rows[h_ + dy]
+                for dx in range(kw):
+                    # left-rotate by dx == right-rotate by (wp - dx)
+                    pieces.append(
+                        plane
+                        if dx == 0
+                        else pltpu.roll(plane, plane.shape[1] - dx, axis=1)
+                    )
+            panel = jnp.concatenate(pieces, axis=0)  # (kh*kw*C_in, wp)
+            rows.append(
+                jnp.dot(w_cat, panel, preferred_element_type=jnp.float32)
+            )
+        return rows  # list of (C_out, wp)
 
     def step(k, _):
         ni = k // nb
         hi = k % nb
-        # xp is flattened to 2D (n*(h+8), wp): DMA via pl.ds offsets only —
-        # traced bare leading indices on HBM refs are a hang risk on this
-        # attach path.
-        src_row = ni * (nb * th + 8) + hi * th
+        src_row = ni * (nb * th + 8) + hi * th  # all multiples of 8
         cp = pltpu.make_async_copy(xp_ref.at[pl.ds(src_row, th + 8)], xv, sin)
         cp.start()
         cp.wait()
 
-        # conv1 5x5 (1 -> f1) over the (th+4, W+4) halo region, tanh.
-        taps = [
-            xv[dy : dy + th + 4, dx : dx + width + 4]
-            for dy in range(5)
+        col_i = jax.lax.broadcasted_iota(jnp.int32, (1, wp), 1)
+        base = hi * th
+
+        # conv1 5x5 (1 -> f1), rows (th+4), tanh + halo re-zero.
+        # Single-sublane pieces can't be concatenated (offset/layout rules),
+        # so conv1 panels bundle the dy taps: piece(dx) = 5 consecutive rows
+        # of the dx-rolled slab, rolled to the front for offset 0; panel is
+        # (25, W+4) with (dx, dy) column order (w1 pre-permuted to match).
+        xv_all = xv[:, :]
+        slab_rows = th + 8
+        xv_dx = [
+            xv_all if dx == 0 else pltpu.roll(xv_all, wp - dx, axis=1)
             for dx in range(5)
         ]
-        patches = jnp.stack(taps, axis=0)  # (25, th+4, W+4)
-        out1 = jax.lax.dot_general(
-            w1_ref[:], patches,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (f1, th+4, W+4)
-        out1 = jnp.tanh(out1 + b1_ref[:].reshape(f1, 1, 1))
-        # Re-zero halo positions outside the true frame: flax SAME padding
-        # gives conv2 literal zeros there, not conv1-of-zeros activations.
-        rows1 = jax.lax.broadcasted_iota(jnp.int32, (1, th + 4, 1), 1) + hi * th - 2
-        cols1 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, width + 4), 2) - 2
-        out1 = jnp.where(
-            (rows1 >= 0) & (rows1 < nb * th) & (cols1 >= 0) & (cols1 < width),
-            out1,
-            0.0,
-        )
-
-        # conv2 3x3 (f1 -> f2) over (th+2, W+2), tanh.
-        acc2 = b2_ref[:].reshape(f2, 1, 1) * jnp.ones(
-            (f2, th + 2, width + 2), jnp.float32
-        )
-        for dy in range(3):
-            for dx in range(3):
-                acc2 += jax.lax.dot_general(
-                    w2_ref[dy * 3 + dx],
-                    out1[:, dy : dy + th + 2, dx : dx + width + 2],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
+        rows1 = []
+        for h_ in range(th + 4):
+            pieces = [
+                (
+                    xv_dx[dx][0:5, :]
+                    if h_ == 0
+                    else pltpu.roll(xv_dx[dx], slab_rows - h_, axis=0)[0:5, :]
                 )
-        out2 = jnp.tanh(acc2)
-        rows2 = jax.lax.broadcasted_iota(jnp.int32, (1, th + 2, 1), 1) + hi * th - 1
-        cols2 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, width + 2), 2) - 1
-        out2 = jnp.where(
-            (rows2 >= 0) & (rows2 < nb * th) & (cols2 >= 0) & (cols2 < width),
-            out2,
-            0.0,
-        )
+                for dx in range(5)
+            ]
+            panel = jnp.concatenate(pieces, axis=0)  # (25, wp)
+            rows1.append(
+                jnp.dot(w1_ref[:], panel, preferred_element_type=jnp.float32)
+            )
+        out1_rows = []
+        for h_, row in enumerate(rows1):
+            v = jnp.tanh(row + b1_ref[:])
+            gr = base + h_ - 2  # global row index of this out1 row
+            valid_r = jnp.logical_and(gr >= 0, gr < h)
+            # out1 col c holds original col c-2: valid iff 2 <= c < width+2
+            valid_c = jnp.logical_and(col_i >= 2, col_i < width + 2)
+            # flax SAME gives conv2 literal zeros outside the frame
+            v = jnp.where(jnp.logical_and(valid_r, valid_c), v, 0.0)
+            out1_rows.append(v)
 
-        # conv3 3x3 (f2 -> r^2) over (th, W).
-        acc3 = b3_ref[:].reshape(r2, 1, 1) * jnp.ones((r2, th, width), jnp.float32)
-        for dy in range(3):
-            for dx in range(3):
-                acc3 += jax.lax.dot_general(
-                    w3_ref[dy * 3 + dx],
-                    out2[:, dy : dy + th, dx : dx + width],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
+        # conv2 3x3 (f1 -> f2), rows (th+2), tanh + halo re-zero.
+        rows2 = conv_rows(out1_rows, w2_ref[:], (3, 3), th + 2)
+        out2_rows = []
+        for h_, row in enumerate(rows2):
+            v = jnp.tanh(row + b2_ref[:])
+            gr = base + h_ - 1
+            valid_r = jnp.logical_and(gr >= 0, gr < h)
+            # out2 col c holds original col c-1: valid iff 1 <= c < width+1
+            valid_c = jnp.logical_and(col_i >= 1, col_i < width + 1)
+            v = jnp.where(jnp.logical_and(valid_r, valid_c), v, 0.0)
+            out2_rows.append(v)
 
-        # sub-pixel rows: channel (i*r + j) -> output row ((h*r + i)*r + j).
-        t = acc3.reshape(r, r, th, width)          # split major
-        t = jnp.transpose(t, (2, 0, 1, 3))         # (th, r_i, r_j, W); lanes fixed
-        ov[:, :width] = t.reshape(th * r2, width)  # merge majors
+        # conv3 3x3 (f2 -> r^2), rows th.
+        rows3 = conv_rows(out2_rows, w3_ref[:], (3, 3), th)
+        acc3 = jnp.stack([row + b3_ref[:] for row in rows3], axis=1)
+        # acc3: (r2, th, wp); cols >= width are garbage, cropped by wrapper
+
+        # Emit channel-planar rows: block (ni, hi) writes r2 contiguous
+        # (th, W) planes — plain 2D slices + concat only (Mosaic rejects
+        # reshapes that merge transposed majors); the (i, j) sub-pixel
+        # permutation is one XLA transpose in the wrapper.
+        planes = jnp.concatenate([acc3[k] for k in range(r2)], axis=0)
+        ov[:, :] = planes  # (r2*th, wp)
         dst_row = (ni * nb + hi) * th * r2
         cpo = pltpu.make_async_copy(ov, out_ref.at[pl.ds(dst_row, th * r2)], sout)
         cpo.start()
@@ -169,19 +208,23 @@ def _espcn_fused_forward(
     assert w3.shape[-1] == r2, "fused path supports channels=1 (Y protocol)"
 
     th = _pick_tile(h)
-    nb = h // th
+    hp = -(-h // th) * th  # height padded to the block grid (zeros below)
+    nb = hp // th
     wp = -(-(width + 8) // 128) * 128
-    # rows: 4 top halo + 4 bottom halo per frame; flattened to 2D for DMA.
-    xp = jnp.zeros((n, h + 8, wp), x.dtype).at[:, 4 : 4 + h, 4 : 4 + width].set(x)
-    xp = xp.reshape(n * (h + 8), wp)
+    # rows: 4 top halo + (pad + 4) bottom halo per frame; flattened to 2D so
+    # every DMA offset (multiples of th=8k and hp+8) stays sublane-aligned.
+    xp = jnp.zeros((n, hp + 8, wp), x.dtype).at[:, 4 : 4 + h, 4 : 4 + width].set(x)
+    xp = xp.reshape(n * (hp + 8), wp)
 
-    # weight layouts: (f1, 25), (9, f2, f1), (9, r2, f2)
-    w1m = jnp.transpose(w1[:, :, 0, :], (2, 0, 1)).reshape(f1, 25)
-    w2m = jnp.transpose(w2, (0, 1, 3, 2)).reshape(9, f2, f1)
-    w3m = jnp.transpose(w3, (0, 1, 3, 2)).reshape(9, r2, f2)
+    # tap-concatenated weight layouts matching the per-row panels:
+    # conv1 columns ordered (dx, dy) per the bundled-dy panel construction;
+    # conv2/3 columns ordered (dy, dx) outer, input channel inner
+    w1m = jnp.transpose(w1[:, :, 0, :], (2, 1, 0)).reshape(f1, 25)
+    w2m = jnp.transpose(w2, (3, 0, 1, 2)).reshape(f2, 9 * f1)
+    w3m = jnp.transpose(w3, (3, 0, 1, 2)).reshape(r2, 9 * f2)
 
     kernel = functools.partial(
-        _kernel, n=n, nb=nb, th=th, width=width, wp=wp, f1=f1, f2=f2, r=r
+        _kernel, n=n, nb=nb, th=th, h=h, width=width, wp=wp, f1=f1, f2=f2, r=r
     )
     out = pl.pallas_call(
         kernel,
@@ -195,7 +238,7 @@ def _espcn_fused_forward(
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((n * h * r2, wp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n * hp * r2, wp), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((th + 8, wp), x.dtype),
             pltpu.VMEM((th * r2, wp), jnp.float32),
@@ -203,9 +246,11 @@ def _espcn_fused_forward(
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-    )(xp, w1m, b1, w2m, b2, w3m, b3)
+    )(xp, w1m, b1.reshape(f1, 1), w2m, b2.reshape(f2, 1), w3m, b3.reshape(r2, 1))
 
-    # final lane interleave in XLA: (N*rH*r, Wp) -> (N, rH, W*r, 1)
-    out = out.reshape(n, h * r, r, wp)[:, :, :, :width]
-    out = jnp.transpose(out, (0, 1, 3, 2)).reshape(n, h * r, width * r, 1)
-    return out
+    # Undo the channel-planar block layout in XLA (one transposed copy):
+    # rows are ((ni, hi) block, (i, j) plane, t) -> (n, h, i, w, j).
+    out = out.reshape(n, nb, r, r, th, wp)[..., :width]
+    out = jnp.transpose(out, (0, 1, 4, 2, 5, 3))  # (n, nb, th, r_i, W, r_j)
+    out = out.reshape(n, hp * r, width * r, 1)
+    return out[:, : h * r]  # crop height padding
