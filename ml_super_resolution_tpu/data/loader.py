@@ -41,6 +41,7 @@ class TileLoader:
         num_workers: int = 4,
         prefetch: int = 4,
         seed: int = 0,
+        cache_bytes: int = 2 << 30,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -52,6 +53,26 @@ class TileLoader:
         self._q: queue.Queue[np.ndarray] = queue.Queue(maxsize=self.prefetch)
         self._stop = threading.Event()
         self._threads: list[threading.Thread] = []
+        # Decoded-image cache: decode cost dominates on few-core hosts and
+        # SR datasets are small (T91 ~18 MB decoded) — keep decoded arrays
+        # up to a byte budget so epochs after the first skip decode entirely.
+        self._cache: dict[int, np.ndarray] = {}
+        self._cache_bytes = 0
+        self._cache_cap = max(0, cache_bytes)
+        self._cache_lock = threading.Lock()
+
+    def _decode_cached(self, i: int) -> np.ndarray:
+        with self._cache_lock:
+            img = self._cache.get(i)
+        if img is not None:
+            return img
+        img = self.dataset.decode(i)
+        if self._cache_cap:
+            with self._cache_lock:
+                if i not in self._cache and self._cache_bytes + img.nbytes <= self._cache_cap:
+                    self._cache[i] = img
+                    self._cache_bytes += img.nbytes
+        return img
 
     # ---- worker side -----------------------------------------------------
     def _tiles_from_image(self, img: np.ndarray, rng: np.random.Generator):
@@ -73,7 +94,7 @@ class TileLoader:
         while not self._stop.is_set():
             for i in rng.permutation(n):
                 try:
-                    img = self.dataset.decode(int(i))
+                    img = self._decode_cached(int(i))
                 except Exception:
                     continue  # unreadable file: skip, never kill training
                 for tile in self._tiles_from_image(img, rng):

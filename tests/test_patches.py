@@ -83,3 +83,21 @@ def test_multiscale_training_pairs(rng):
         jax.random.key(0), tiles, patch_size=48, scales=(2, 3, 4), y_only=True
     )
     np.testing.assert_array_equal(np.asarray(lr), np.asarray(lr2))
+
+
+def test_tile_loader_cache_speeds_second_epoch():
+    import time
+
+    from ml_super_resolution_tpu.data.datasets import SyntheticImages
+    from ml_super_resolution_tpu.data.loader import TileLoader
+
+    ds = SyntheticImages(n=16, size=128, seed=2)
+    with TileLoader(ds, batch_size=16, tile_size=96, num_workers=1,
+                    patches_per_tile=1) as loader:
+        it = iter(loader)
+        next(it)  # first epoch decodes
+        t0 = time.perf_counter()
+        next(it)  # second epoch from cache
+        t_cached = time.perf_counter() - t0
+        assert loader._cache  # populated
+    assert t_cached < 5.0  # generous; mostly asserting it didn't re-render
