@@ -157,8 +157,19 @@ def cmd_eval(args) -> int:
 
     trainer, state, step, cfg = _load_run(args.workdir)
     imgs = load_eval_images(args.data or cfg.data.eval_dir or None)
-    out = trainer.evaluate(state, imgs)
-    print(json.dumps({"step": step, "n_images": len(imgs), **out}))
+    scales = (
+        [int(s) for s in args.scales.split(",")]
+        if args.scales
+        else [cfg.model.scale]
+    )
+    result = {"step": step, "n_images": len(imgs)}
+    for s in scales:
+        out = trainer.evaluate(state, imgs, scale=s)
+        if len(scales) == 1:
+            result.update(out)
+        else:
+            result[f"x{s}"] = out
+    print(json.dumps(result))
     return 0
 
 
@@ -234,6 +245,8 @@ def main(argv=None) -> int:
     p_eval = sub.add_parser("eval", help="evaluate a run on a benchmark set")
     p_eval.add_argument("--workdir", required=True)
     p_eval.add_argument("--data", default="", help="benchmark dir (Set5 layout)")
+    p_eval.add_argument("--scales", default="",
+                        help="comma list, e.g. 2,3,4 (multi-scale models)")
     p_eval.set_defaults(fn=cmd_eval)
 
     p_up = sub.add_parser("upscale", help="upscale an image with a trained run")

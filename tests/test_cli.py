@@ -76,3 +76,20 @@ def test_eval_on_benchmark_folder(tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["n_images"] == 3
     assert 3 < out["psnr"] < 60
+
+
+def test_eval_scales_flag(tmp_path, capsys):
+    wd = tmp_path / "run"
+    main([
+        "train", "--model", "vdsr", "--scale", "3", "--multi-scale",
+        "--workdir", str(wd), "--steps", "2", "--batch-size", "4",
+        "--patch-size", "24", "--dp", "1",
+        "--ckpt-every", "2", "--eval-every", "1000", "--log-every", "10",
+    ])
+    capsys.readouterr()
+    rc = main(["eval", "--workdir", str(wd), "--scales", "2,3,4"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(out) >= {"x2", "x3", "x4"}
+    for s in ("x2", "x3", "x4"):
+        assert 3 < out[s]["psnr"] < 60
