@@ -233,6 +233,28 @@ class GANTrainer:
     def train_step(self, state: GANState, tiles: np.ndarray):
         return self._gan_step(state, tiles)
 
+    # -------------------------------------------------------------- eval --
+    def evaluate(self, state: GANState, images) -> dict[str, float]:
+        """Generator-only protocol eval (luma PSNR/SSIM, border shave)."""
+        from ml_super_resolution_tpu.ops.color import rgb_to_y
+        from ml_super_resolution_tpu.ops.metrics import psnr, ssim
+        from ml_super_resolution_tpu.ops.patches import eval_pair
+
+        c = self.cfg
+        psnrs, ssims = [], []
+        for img in images:
+            lr_img, hr_img = eval_pair(
+                jnp.asarray(img), c.model.scale, y_only=False, lr_space=True
+            )
+            sr, _ = self._g_apply(state.g_params, state.g_stats, lr_img[None], False)
+            sr = jnp.clip(sr[0], 0.0, 1.0)
+            psnrs.append(psnr(rgb_to_y(sr), rgb_to_y(hr_img), border=c.model.scale))
+            ssims.append(ssim(rgb_to_y(sr), rgb_to_y(hr_img), border=c.model.scale))
+        return {
+            "psnr": float(np.mean([np.asarray(p) for p in psnrs])),
+            "ssim": float(np.mean([np.asarray(s) for s in ssims])),
+        }
+
     # --------------------------------------------------------------- fit --
     def pretrain(self, loader: Iterable[np.ndarray], steps: int, seed: int = 0):
         """Phase 1: MSE-only SRResNet pretrain via the shared Trainer."""
@@ -280,6 +302,9 @@ class GANTrainer:
                     "gan", step + 1, **m,
                     steps_per_s=(c.train.log_every if step else 1) / dt,
                 )
+            if eval_images and (step + 1) % c.train.eval_every == 0:
+                ev = self.evaluate(state, eval_images)
+                self.logger.log("eval", step + 1, **ev)
             if self.ckpt and (step + 1) % c.train.ckpt_every == 0:
                 self.ckpt.save(step + 1, jax.device_get(state))
         if self.ckpt:

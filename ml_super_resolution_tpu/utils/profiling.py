@@ -47,9 +47,9 @@ def device_timer(fn, *args, iters: int = 10):
     def loop(n_iters, *a):
         def body(i, acc):
             out = fn(*a)
-            return acc + jnp.sum(jnp.ravel(out)[:1])
+            return acc + jnp.sum(jnp.ravel(out)[:1]).astype(jnp.float32)
 
-        return jax.lax.fori_loop(0, n_iters, body, jnp.float32(0.0))
+        return jax.lax.fori_loop(0, n_iters, body, jnp.zeros((), jnp.float32))
 
     float(loop(1, *args))  # compile + warm
     t0 = time.perf_counter()

@@ -80,3 +80,12 @@ def test_discriminator_accuracy_metrics_bounded(cfg):
     state, m = tr.train_step(state, _tiles())
     assert 0.0 <= float(m["d_real_acc"]) <= 1.0
     assert 0.0 <= float(m["d_fake_acc"]) <= 1.0
+
+
+def test_gan_evaluate(cfg):
+    tr = GANTrainer(cfg)
+    state = tr.init_state(0)
+    imgs = [SyntheticImages(n=2, size=96, seed=11).decode(i) for i in range(2)]
+    out = tr.evaluate(state, imgs)
+    assert set(out) == {"psnr", "ssim"}
+    assert np.isfinite(out["psnr"])
