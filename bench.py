@@ -116,6 +116,37 @@ def main():
         ("vdsr", dict(name="vdsr", scale=4, out_hw=(1080, 1920), batch=1,
                       channels=1)),
     ]
+    # fused Pallas ESPCN (kernels/espcn_fused.py)
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        from ml_super_resolution_tpu.kernels.espcn_fused import (
+            espcn_fused_forward,
+            extract_espcn_weights,
+        )
+        from ml_super_resolution_tpu.models import build_model
+        from ml_super_resolution_tpu.utils.config import ModelConfig
+
+        m = build_model(ModelConfig(name="espcn", scale=4, channels=1))
+        x = jnp.asarray(
+            np.random.default_rng(0).random((8, 270, 480, 1)), dtype=jnp.float32
+        )
+        v = m.init(jax.random.key(0), x[:1], train=False)
+        wts = extract_espcn_weights(v["params"])
+
+        def fwd_fused(w, inp):
+            return espcn_fused_forward(w, inp, 4)
+
+        dtf = _iter_time(fwd_fused, wts, x, iters=10)
+        print(
+            f"# espcn-pallas-fused x4 -> 1080p: {8*1080*1920/1e6/dtf:.1f} MP/s "
+            f"({dtf*1e3:.2f} ms)",
+            file=sys.stderr,
+        )
+    except Exception as e:
+        print(f"# espcn-pallas-fused bench failed: {e}", file=sys.stderr)
+
     for label, kw in secondaries:
         try:
             ov = kw.pop("overrides", None)

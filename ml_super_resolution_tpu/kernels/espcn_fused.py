@@ -50,15 +50,16 @@ def extract_espcn_weights(params) -> dict:
 def _pick_tile(h: int) -> int:
     """Row-block height: must be a multiple of 8 — DMA source row offsets
     need sublane alignment (unaligned offsets fault the TPU worker).
-    Prefer the largest 8k <= 32 dividing h (no padding); else 8 (<= 7 pad rows)."""
+    Height padding (hp) handles non-divisible h, so use the largest block
+    that doesn't overshoot the frame: fewer loop iterations + DMAs."""
     for th in (32, 24, 16, 8):
-        if h % th == 0:
+        if th <= h or h % th == 0:
             return th
     return 8
 
 
 def _kernel(xp_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, out_ref,
-            xv, ov, sin, sout, *, n, nb, th, h, width, wp, f1, f2, r):
+            xv, ov, sin, sout, *, n, nb, th, h, width, wp, f1, f2, r, cdt):
     r2 = r * r
 
     # Mosaic constraint driving this structure: any shape cast that merges or
@@ -77,23 +78,37 @@ def _kernel(xp_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, out_ref,
         extents, and dx-taps are realigned with pltpu.roll so each
         concatenated piece has lane offset 0.  Garbage in the wrapped-around
         columns is killed by the per-layer validity masks / final crop.
+        Rolled variants are computed once per source row and shared across
+        the kh output rows that consume it (rolls are the VPU hot spot).
         """
-        rows = []
         kh, kw = taps_hw
-        for h_ in range(n_rows):
-            pieces = []
-            for dy in range(kh):
-                plane = src_rows[h_ + dy]
-                for dx in range(kw):
+        variants = [
+            [
+                (
+                    plane
+                    if dx == 0
                     # left-rotate by dx == right-rotate by (wp - dx)
-                    pieces.append(
-                        plane
-                        if dx == 0
-                        else pltpu.roll(plane, plane.shape[1] - dx, axis=1)
-                    )
+                    else pltpu.roll(plane, plane.shape[1] - dx, axis=1)
+                )
+                for dx in range(kw)
+            ]
+            for plane in src_rows[: n_rows + kh - 1]
+        ]
+        rows = []
+        for h_ in range(n_rows):
+            # one K = kh*kw*C_in matmul per row: the panel concat costs a
+            # VMEM copy but beats kh*kw accumulated K=C_in dots (measured
+            # 3.46 ms vs 4.20 ms for the 1080p batch on v5e)
+            pieces = [
+                variants[h_ + dy][dx] for dy in range(kh) for dx in range(kw)
+            ]
             panel = jnp.concatenate(pieces, axis=0)  # (kh*kw*C_in, wp)
             rows.append(
-                jnp.dot(w_cat, panel, preferred_element_type=jnp.float32)
+                jnp.dot(
+                    w_cat,
+                    panel.astype(cdt),
+                    preferred_element_type=jnp.float32,
+                )
             )
         return rows  # list of (C_out, wp)
 
@@ -131,7 +146,10 @@ def _kernel(xp_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, out_ref,
             ]
             panel = jnp.concatenate(pieces, axis=0)  # (25, wp)
             rows1.append(
-                jnp.dot(w1_ref[:], panel, preferred_element_type=jnp.float32)
+                jnp.dot(
+                    w1_ref[:], panel.astype(cdt),
+                    preferred_element_type=jnp.float32,
+                )
             )
         out1_rows = []
         for h_, row in enumerate(rows1):
@@ -178,22 +196,28 @@ def _kernel(xp_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, out_ref,
 
 
 def espcn_fused_forward(
-    weights: dict, x: jnp.ndarray, scale: int, interpret: bool | None = None
+    weights: dict,
+    x: jnp.ndarray,
+    scale: int,
+    interpret: bool | None = None,
+    bf16: bool = False,
 ) -> jnp.ndarray:
     """Fused ESPCN forward.  x: (N, H, W) or (N, H, W, 1) Y-channel in [0,1].
 
     Returns (N, r*H, r*W, 1) f32, numerically matching the flax ESPCN apply
-    (f32 accumulation throughout).  ``interpret=None`` auto-selects
+    (f32 accumulation; ``bf16=True`` runs matmul operands in bf16 for ~2x MXU
+    rate at ~1e-2 absolute pixel error).  ``interpret=None`` auto-selects
     interpreter mode off-TPU.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    return _espcn_fused_forward(weights, x, scale, interpret)
+    return _espcn_fused_forward(weights, x, scale, interpret, bf16)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+@functools.partial(jax.jit, static_argnames=("scale", "interpret", "bf16"))
 def _espcn_fused_forward(
-    weights: dict, x: jnp.ndarray, scale: int, interpret: bool = False
+    weights: dict, x: jnp.ndarray, scale: int, interpret: bool = False,
+    bf16: bool = False,
 ) -> jnp.ndarray:
     if x.ndim == 4:
         x = x[..., 0]
@@ -207,24 +231,30 @@ def _espcn_fused_forward(
     f2 = w2.shape[-1]
     assert w3.shape[-1] == r2, "fused path supports channels=1 (Y protocol)"
 
+    cdt = jnp.bfloat16 if bf16 else jnp.float32
     th = _pick_tile(h)
     hp = -(-h // th) * th  # height padded to the block grid (zeros below)
     nb = hp // th
     wp = -(-(width + 8) // 128) * 128
     # rows: 4 top halo + (pad + 4) bottom halo per frame; flattened to 2D so
     # every DMA offset (multiples of th=8k and hp+8) stays sublane-aligned.
-    xp = jnp.zeros((n, hp + 8, wp), x.dtype).at[:, 4 : 4 + h, 4 : 4 + width].set(x)
+    # slab stays f32: bf16 sublane rolls are unsupported by Mosaic; panels
+    # are cast to the compute dtype right before each matmul instead
+    xp = jnp.zeros((n, hp + 8, wp), jnp.float32).at[:, 4 : 4 + h, 4 : 4 + width].set(
+        x.astype(jnp.float32)
+    )
     xp = xp.reshape(n * (hp + 8), wp)
 
     # tap-concatenated weight layouts matching the per-row panels:
     # conv1 columns ordered (dx, dy) per the bundled-dy panel construction;
     # conv2/3 columns ordered (dy, dx) outer, input channel inner
-    w1m = jnp.transpose(w1[:, :, 0, :], (2, 1, 0)).reshape(f1, 25)
-    w2m = jnp.transpose(w2, (3, 0, 1, 2)).reshape(f2, 9 * f1)
-    w3m = jnp.transpose(w3, (3, 0, 1, 2)).reshape(r2, 9 * f2)
+    w1m = jnp.transpose(w1[:, :, 0, :], (2, 1, 0)).reshape(f1, 25).astype(cdt)
+    w2m = jnp.transpose(w2, (3, 0, 1, 2)).reshape(f2, 9 * f1).astype(cdt)
+    w3m = jnp.transpose(w3, (3, 0, 1, 2)).reshape(r2, 9 * f2).astype(cdt)
 
     kernel = functools.partial(
-        _kernel, n=n, nb=nb, th=th, h=h, width=width, wp=wp, f1=f1, f2=f2, r=r
+        _kernel, n=n, nb=nb, th=th, h=h, width=width, wp=wp, f1=f1, f2=f2, r=r,
+        cdt=cdt,
     )
     out = pl.pallas_call(
         kernel,
@@ -240,7 +270,7 @@ def _espcn_fused_forward(
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((n * hp * r2, wp), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((th + 8, wp), x.dtype),
+            pltpu.VMEM((th + 8, wp), jnp.float32),
             pltpu.VMEM((th * r2, wp), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
