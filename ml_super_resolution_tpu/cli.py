@@ -203,6 +203,7 @@ def cmd_upscale(args) -> int:
                 sr = np.asarray(upscale_frames(
                     trainer.model, variables, jnp.asarray(np.stack(chunk)),
                     cfg.model.name, cfg.model.scale, mesh=mesh,
+                    use_pallas=args.pallas,
                 ))
             else:  # mixed sizes: per frame
                 sr = [upscale_image(trainer.model, variables, f,
@@ -257,6 +258,8 @@ def main(argv=None) -> int:
                       help="spatial shards for tiled inference")
     p_up.add_argument("--batch", type=int, default=8,
                       help="frames per device batch for directory input")
+    p_up.add_argument("--pallas", action="store_true",
+                      help="fused Pallas inference kernel (ESPCN)")
     p_up.set_defaults(fn=cmd_upscale)
 
     p_bench = sub.add_parser("bench", help="run the benchmark harness")
