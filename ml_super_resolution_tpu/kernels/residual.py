@@ -3,8 +3,9 @@
 VDSR's output layer computes ``bicubic_input + conv(features)``
 (arXiv:1511.04587 §3.2).  Unfused, XLA writes the conv result to HBM and
 reads it back for the add; fusing the skip-add into the conv epilogue makes
-the head a single HBM write.  Same two-block halo structure and channel
-padding as ``subpixel.py`` (see the Mosaic constraints documented there).
+the head a single HBM write.  Grid-free per-row-matmul structure identical
+to ``subpixel.py`` (see the Mosaic/attach-path constraints there), plus a
+second DMA stream for the skip slab.
 """
 
 from __future__ import annotations
@@ -28,72 +29,134 @@ def conv_residual_add_reference(
     return skip + y + b
 
 
-def _kernel(cur_ref, nxt_ref, skip_ref, w_ref, b_ref, out_ref,
-            *, tile_h, width, cin, cout):
-    fv = jnp.concatenate([cur_ref[0], nxt_ref[0, :2]], axis=0)
-    acc = jnp.zeros((tile_h * width, cout), jnp.float32)
-    for dy in range(3):
-        for dx in range(3):
-            patch = fv[dy : dy + tile_h, dx : dx + width, :]
-            acc += jnp.dot(
-                patch.reshape(tile_h * width, cin),
-                w_ref[dy * 3 + dx],
-                preferred_element_type=jnp.float32,
+def _pick_tile(h: int) -> int:
+    for th in (32, 24, 16, 8):
+        if th <= h or h % th == 0:
+            return th
+    return 8
+
+
+def _kernel(fp_ref, sk_ref, w_ref, b_ref, out_ref, fv, sv, ov, s_in, s_sk, s_out,
+            *, n, nb, th, width, wp, cin, cout):
+    def step(k, _):
+        ni = k // nb
+        hi = k % nb
+        src = (ni * (nb * th + 2) + hi * th) * cin
+        cp = pltpu.make_async_copy(fp_ref.at[pl.ds(src, (th + 2) * cin)], fv, s_in)
+        cp.start()
+        sks = (ni * nb + hi) * th * cout
+        cs = pltpu.make_async_copy(sk_ref.at[pl.ds(sks, th * cout)], sv, s_sk)
+        cs.start()
+        cp.wait()
+        cs.wait()
+
+        fv_all = fv[:, :]
+        variants = [
+            [
+                (
+                    fv_all[h_ * cin : (h_ + 1) * cin, :]
+                    if dx == 0
+                    else pltpu.roll(
+                        fv_all[h_ * cin : (h_ + 1) * cin, :], wp - dx, axis=1
+                    )
+                )
+                for dx in range(3)
+            ]
+            for h_ in range(th + 2)
+        ]
+        rows = []
+        for h_ in range(th):
+            panel = jnp.concatenate(
+                [variants[h_ + dy][dx] for dy in range(3) for dx in range(3)],
+                axis=0,
             )
-    acc += b_ref[:].reshape(1, cout)
-    out = acc.reshape(tile_h, width, cout) + skip_ref[0].astype(jnp.float32)
-    out_ref[0] = out.astype(out_ref.dtype)
+            rows.append(
+                jnp.dot(w_ref[:], panel, preferred_element_type=jnp.float32)
+                + b_ref[:]
+            )  # (cout, wp)
+        acc = jnp.stack(rows, axis=1)  # (cout, th, wp)
+        conv_rows = jnp.concatenate([acc[c] for c in range(cout)], axis=0)
+        # skip slab is row-major (th*cout, wp) in (row, channel-plane) order:
+        # reorder conv rows to match via the same plane-concat convention
+        ov[:, :] = conv_rows + sv[:, :]
+        dst = (ni * nb + hi) * th * cout
+        cpo = pltpu.make_async_copy(ov, out_ref.at[pl.ds(dst, th * cout)], s_out)
+        cpo.start()
+        cpo.wait()
+        return 0
+
+    jax.lax.fori_loop(0, n * nb, step, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("tile_h", "interpret"))
 def conv_residual_add(
     feats: jnp.ndarray,
     skip: jnp.ndarray,
     w: jnp.ndarray,
     b: jnp.ndarray,
-    tile_h: int = 8,
-    interpret: bool = False,
+    tile_h: int | None = None,
+    interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Fused ``skip + conv3x3(feats) + b``.
 
     feats: (N, H, W, Cin); skip: (N, H, W, Cout); w: (3, 3, Cin, Cout).
+    ``interpret=None`` auto-selects off-TPU.
     """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _conv_residual_add(feats, skip, w, b, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _conv_residual_add(feats, skip, w, b, interpret):
     n, h, width, cin = feats.shape
     cout = w.shape[-1]
-    if h % tile_h:
-        raise ValueError(f"H={h} not divisible by tile_h={tile_h}")
-    cpad = max(128, -(-cin // 128) * 128) if not interpret else cin
-    fp = jnp.pad(feats, ((0, 0), (1, tile_h - 1), (1, 1), (0, cpad - cin)))
-    w_flat = jnp.pad(w, ((0, 0), (0, 0), (0, cpad - cin), (0, 0))).reshape(
-        9, cpad, cout
-    )
+    cpad = -(-cin // 8) * 8
+    th = _pick_tile(h)
+    hp = -(-h // th) * th
+    nb = hp // th
+    wp = -(-(width + 2) // 128) * 128
+
+    fq = jnp.transpose(feats, (0, 1, 3, 2))  # (N, H, Cin, W)
+    fp = jnp.zeros((n, hp + 2, cpad, wp), jnp.float32)
+    fp = fp.at[:, 1 : 1 + h, :cin, 1 : 1 + width].set(fq.astype(jnp.float32))
+    fp = fp.reshape(n * (hp + 2) * cpad, wp)
+
+    # skip, channel-planar per block row group: (N, hp, Cout, Wp)
+    sq = jnp.transpose(skip, (0, 1, 3, 2))  # (N, H, Cout, W)
+    sp = jnp.zeros((n, hp, cout, wp), jnp.float32)
+    sp = sp.at[:, :h, :, :width].set(sq.astype(jnp.float32))
+    # reorder to (N, nb, Cout, th, Wp) plane-major to match the kernel concat
+    sp = sp.reshape(n, nb, th, cout, wp).transpose(0, 1, 3, 2, 4)
+    sp = sp.reshape(n * hp * cout, wp)
+
+    wm = jnp.pad(w, ((0, 0), (0, 0), (0, cpad - cin), (0, 0)))
+    wm = jnp.transpose(wm, (3, 0, 1, 2)).reshape(cout, 9 * cpad).astype(jnp.float32)
 
     kernel = functools.partial(
-        _kernel, tile_h=tile_h, width=width, cin=cpad, cout=cout
+        _kernel, n=n, nb=nb, th=th, width=width, wp=wp, cin=cpad, cout=cout
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        grid=(n, h // tile_h),
         in_specs=[
-            pl.BlockSpec(
-                (1, tile_h, width + 2, cpad), lambda ni, hi: (ni, hi, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, tile_h, width + 2, cpad), lambda ni, hi: (ni, hi + 1, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, tile_h, width, cout), lambda ni, hi: (ni, hi, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, tile_h, width, cout), lambda ni, hi: (ni, hi, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((n, h, width, cout), skip.dtype),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((n * hp * cout, wp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM(((th + 2) * cpad, wp), jnp.float32),
+            pltpu.VMEM((th * cout, wp), jnp.float32),
+            pltpu.VMEM((th * cout, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
         interpret=interpret,
-    )(fp, fp, skip, w_flat, b)
+    )(fp, sp, wm, b.reshape(cout, 1).astype(jnp.float32))
+
+    # (n, nb, cout, th, wp) -> NHWC
+    out = out.reshape(n, nb, cout, th, wp)[..., :width]
+    out = jnp.transpose(out, (0, 1, 3, 4, 2)).reshape(n, hp, width, cout)
+    return out[:, :h].astype(skip.dtype)

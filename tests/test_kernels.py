@@ -24,17 +24,19 @@ def test_conv_pixel_shuffle_matches_reference(rng, r, cin, cout):
     )
     b = jnp.asarray(rng.standard_normal((r * r * cout,)).astype(np.float32))
     want = conv_pixel_shuffle_reference(x, wgt, b, r)
-    got = conv_pixel_shuffle(x, wgt, b, r, tile_h=8, interpret=True)
+    got = conv_pixel_shuffle(x, wgt, b, r, interpret=True)
     assert got.shape == (n, h * r, w * r, cout)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
 
-def test_conv_pixel_shuffle_rejects_bad_tile(rng):
-    x = jnp.zeros((1, 10, 8, 4))
-    wgt = jnp.zeros((3, 3, 4, 4))
+def test_conv_pixel_shuffle_odd_height(rng):
+    """non-multiple-of-8 heights are padded and cropped correctly"""
+    x = jnp.asarray(rng.standard_normal((1, 10, 8, 4)).astype(np.float32))
+    wgt = jnp.asarray(rng.standard_normal((3, 3, 4, 4)).astype(np.float32) * 0.1)
     b = jnp.zeros((4,))
-    with pytest.raises(ValueError):
-        conv_pixel_shuffle(x, wgt, b, 2, tile_h=8, interpret=True)
+    want = conv_pixel_shuffle_reference(x, wgt, b, 2)
+    got = conv_pixel_shuffle(x, wgt, b, 2, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
 
 @pytest.mark.parametrize("cin,cout", [(64, 1), (32, 3)])
@@ -47,7 +49,7 @@ def test_conv_residual_add_matches_reference(rng, cin, cout):
     )
     b = jnp.asarray(rng.standard_normal((cout,)).astype(np.float32))
     want = conv_residual_add_reference(feats, skip, wgt, b)
-    got = conv_residual_add(feats, skip, wgt, b, tile_h=8, interpret=True)
+    got = conv_residual_add(feats, skip, wgt, b, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
 
