@@ -23,17 +23,25 @@ __all__ = ["make_mesh"]
 def make_mesh(
     dp: int | None = None,
     sp: int = 1,
+    sw: int = 1,
     devices=None,
 ) -> Mesh:
-    """``(data, space)`` mesh over the fastest (ICI-contiguous) device order.
+    """``(data, space[, space_w])`` mesh over ICI-contiguous device order.
 
-    ``dp=None`` uses all remaining devices after ``sp`` is carved out.
+    ``dp=None`` uses all remaining devices after the spatial axes are carved
+    out.  ``sw > 1`` adds a second spatial axis for 2D (rows x cols) frame
+    tiling (``parallel/tiling.py::tiled_apply_2d``).
     """
     devices = list(devices if devices is not None else jax.devices())
     if dp is None:
-        dp = max(1, len(devices) // sp)
-    n = dp * sp
+        dp = max(1, len(devices) // (sp * sw))
+    n = dp * sp * sw
     if n > len(devices):
-        raise ValueError(f"need {n} devices (dp={dp} sp={sp}), have {len(devices)}")
-    arr = np.asarray(devices[:n]).reshape(dp, sp)
-    return Mesh(arr, ("data", "space"))
+        raise ValueError(
+            f"need {n} devices (dp={dp} sp={sp} sw={sw}), have {len(devices)}"
+        )
+    if sw == 1:
+        arr = np.asarray(devices[:n]).reshape(dp, sp)
+        return Mesh(arr, ("data", "space"))
+    arr = np.asarray(devices[:n]).reshape(dp, sp, sw)
+    return Mesh(arr, ("data", "space", "space_w"))

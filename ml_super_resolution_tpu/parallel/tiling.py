@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["tiled_apply", "tiled_upscale"]
+__all__ = ["tiled_apply", "tiled_apply_2d", "tiled_upscale"]
 
 
 def _band_fn(
@@ -105,6 +105,83 @@ def tiled_apply(
         mesh=mesh,
         in_specs=P(None, axis, None, None),
         out_specs=P(None, axis, None, None),
+        check_vma=False,
+    )
+    return shard(frames)
+
+
+def _extend_axis(x: jnp.ndarray, axis_name: str, r: int, dim: int):
+    """Build this shard's asymmetric contiguous window along ``dim``.
+
+    Same 3-case construction as :func:`_band_fn` (see module docstring),
+    generalized to either spatial dim.  Returns the (B + 2r)-wide window and
+    the post-``fn`` crop offset multiplier (0 / r / 2r, traced).
+    """
+    n = jax.lax.axis_size(axis_name)
+    i = jax.lax.axis_index(axis_name)
+    take_lead = lambda a, k: jax.lax.slice_in_dim(a, 0, k, axis=dim)  # noqa: E731
+    take_tail = lambda a, k: jax.lax.slice_in_dim(  # noqa: E731
+        a, a.shape[dim] - k, a.shape[dim], axis=dim
+    )
+    from_prev = jax.lax.ppermute(
+        take_tail(x, 2 * r), axis_name, [(j, j + 1) for j in range(n - 1)]
+    )
+    from_next = jax.lax.ppermute(
+        take_lead(x, 2 * r), axis_name, [(j + 1, j) for j in range(n - 1)]
+    )
+    first = jnp.concatenate([x, from_next], axis=dim)
+    mid = jnp.concatenate(
+        [take_tail(from_prev, r), x, take_lead(from_next, r)], axis=dim
+    )
+    last = jnp.concatenate([from_prev, x], axis=dim)
+    window = jnp.where(i == 0, first, jnp.where(i == n - 1, last, mid))
+    offset = r * ((i > 0).astype(jnp.int32) + (i == n - 1).astype(jnp.int32))
+    return window, offset
+
+
+def tiled_apply_2d(
+    fn: Callable[[jnp.ndarray], jnp.ndarray],
+    frames: jnp.ndarray,
+    mesh: Mesh,
+    halo: int,
+    scale: int,
+    axes: tuple[str, str] = ("space", "space_w"),
+) -> jnp.ndarray:
+    """2D (rows x cols) tiled apply with halo exchange on both axes.
+
+    Column halos are exchanged first, then row halos of the col-extended
+    block — corner halos arrive transitively.  Bitwise-equal to whole-frame
+    for SAME-padded ``fn`` (tested), with the same asymmetric boundary
+    windows as the 1D path.  Requires each block dim >= 2*halo.
+    """
+    ah, aw = axes
+    nh, nw = mesh.shape[ah], mesh.shape[aw]
+    if frames.shape[1] % nh or frames.shape[2] % nw:
+        raise ValueError(
+            f"frame {frames.shape[1:3]} not divisible by mesh ({nh}, {nw})"
+        )
+    if (nh > 1 and frames.shape[1] // nh < 2 * halo) or (
+        nw > 1 and frames.shape[2] // nw < 2 * halo
+    ):
+        raise ValueError(f"block smaller than 2*halo ({2 * halo})")
+
+    def body(x):
+        off_h = off_w = jnp.zeros((), jnp.int32)
+        if nw > 1 and halo > 0:
+            x, off_w = _extend_axis(x, aw, halo, dim=2)
+        if nh > 1 and halo > 0:
+            x, off_h = _extend_axis(x, ah, halo, dim=1)
+        y = fn(x)
+        bh = (frames.shape[1] // nh) * scale
+        bw = (frames.shape[2] // nw) * scale
+        y = jax.lax.dynamic_slice_in_dim(y, off_h * scale, bh, axis=1)
+        return jax.lax.dynamic_slice_in_dim(y, off_w * scale, bw, axis=2)
+
+    shard = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=P(None, ah, aw, None),
+        out_specs=P(None, ah, aw, None),
         check_vma=False,
     )
     return shard(frames)

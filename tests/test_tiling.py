@@ -137,3 +137,41 @@ def test_upscale_frames_pallas_path_matches(rng):
         model, variables, jnp.asarray(frames), "espcn", 2, use_pallas=True
     )
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("name,grid,hw", [
+    ("espcn", (2, 4), (32, 64)),   # block 16x16 >= 2*4
+    ("espcn", (4, 2), (64, 32)),
+    ("srcnn", (2, 2), (64, 64)),   # halo 8 -> blocks 32x32
+])
+def test_tiled_2d_equals_whole_frame(name, grid, hw, rng):
+    """2D rows x cols halo exchange == whole-frame, bitwise."""
+    from ml_super_resolution_tpu.parallel.tiling import tiled_apply_2d
+
+    scale = 2
+    cfg = ModelConfig(name=name, scale=scale, channels=1)
+    model = build_model(cfg)
+    spec = MODEL_SPECS[name]
+    h, w = hw
+    x = jnp.asarray(rng.random((1, h, w, 1)).astype(np.float32))
+    variables = model.init(jax.random.key(0), x, train=False)
+
+    def apply_fn(inp):
+        return model.apply(variables, inp, train=False)
+
+    whole = apply_fn(x)
+    mesh = make_mesh(dp=1, sp=grid[0], sw=grid[1])
+    net_scale = scale if spec["lr_space"] else 1
+    tiled = tiled_apply_2d(
+        apply_fn, x, mesh, halo=spec["rf_radius"](scale), scale=net_scale
+    )
+    np.testing.assert_array_equal(np.asarray(tiled), np.asarray(whole))
+
+
+def test_tiled_2d_rejects_small_blocks(rng):
+    from ml_super_resolution_tpu.parallel.tiling import tiled_apply_2d
+
+    mesh = make_mesh(dp=1, sp=2, sw=4)
+    x = jnp.zeros((1, 32, 32, 1))  # col blocks 8 < 2*8
+    with pytest.raises(ValueError):
+        tiled_apply_2d(lambda v: v, x, mesh, halo=8, scale=1)
