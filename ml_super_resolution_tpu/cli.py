@@ -228,6 +228,19 @@ def cmd_upscale(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    from ml_super_resolution_tpu.serve import serve
+
+    trainer, state, step, cfg = _load_run(args.workdir)
+    print(json.dumps({
+        "serving": f"http://{args.host}:{args.port}", "model": cfg.model.name,
+        "scale": cfg.model.scale, "step": step,
+    }), flush=True)
+    serve(trainer, state, cfg, host=args.host, port=args.port,
+          use_pallas=args.pallas)
+    return 0
+
+
 def cmd_bench(args) -> int:
     import bench  # repo-root harness
 
@@ -261,6 +274,13 @@ def main(argv=None) -> int:
     p_up.add_argument("--pallas", action="store_true",
                       help="fused Pallas inference kernel (ESPCN)")
     p_up.set_defaults(fn=cmd_upscale)
+
+    p_serve = sub.add_parser("serve", help="HTTP upscaling endpoint")
+    p_serve.add_argument("--workdir", required=True)
+    p_serve.add_argument("--host", default="127.0.0.1")
+    p_serve.add_argument("--port", type=int, default=8600)
+    p_serve.add_argument("--pallas", action="store_true")
+    p_serve.set_defaults(fn=cmd_serve)
 
     p_bench = sub.add_parser("bench", help="run the benchmark harness")
     p_bench.set_defaults(fn=cmd_bench)

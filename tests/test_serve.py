@@ -1,0 +1,64 @@
+"""Serving endpoint test: real HTTP round trip on CPU."""
+
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+from PIL import Image
+
+from ml_super_resolution_tpu.cli import main
+from ml_super_resolution_tpu.serve import serve
+from ml_super_resolution_tpu.train.trainer import Trainer
+from ml_super_resolution_tpu.utils.config import ExperimentConfig
+
+
+def test_serve_upscales_over_http(tmp_path, capsys):
+    wd = tmp_path / "run"
+    main([
+        "train", "--model", "espcn", "--scale", "2",
+        "--workdir", str(wd), "--steps", "2", "--batch-size", "4",
+        "--patch-size", "32", "--dp", "1",
+        "--ckpt-every", "2", "--eval-every", "1000", "--log-every", "10",
+    ])
+    capsys.readouterr()
+
+    from ml_super_resolution_tpu.cli import _load_run
+
+    trainer, state, step, cfg = _load_run(str(wd))
+    ready = threading.Event()
+    th = threading.Thread(
+        target=serve,
+        args=(trainer, state, cfg),
+        kwargs=dict(port=0 or 8612, ready_event=ready),
+        daemon=True,
+    )
+    th.start()
+    assert ready.wait(timeout=60)
+
+    with urllib.request.urlopen("http://127.0.0.1:8612/healthz", timeout=30) as r:
+        health = json.loads(r.read())
+    assert health == {"status": "ok", "model": "espcn", "scale": 2}
+
+    rng = np.random.default_rng(0)
+    img = (rng.random((24, 32, 3)) * 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    req = urllib.request.Request(
+        "http://127.0.0.1:8612/upscale", data=buf.getvalue(), method="POST"
+    )
+    with urllib.request.urlopen(req, timeout=120) as r:
+        sr = np.asarray(Image.open(io.BytesIO(r.read())))
+    assert sr.shape == (48, 64, 3)
+
+    # bad input -> clean 400
+    req = urllib.request.Request(
+        "http://127.0.0.1:8612/upscale", data=b"not an image", method="POST"
+    )
+    try:
+        urllib.request.urlopen(req, timeout=30)
+        raised = False
+    except urllib.error.HTTPError as e:
+        raised = e.code == 400
+    assert raised
