@@ -33,7 +33,13 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--steps", type=int, default=100_000)
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--patch-size", type=int, default=0, help="0 = per-model default")
+    p.add_argument("--tile-size", type=int, default=0,
+                   help="HR tile edge the host ships per example "
+                        "(0 = auto: ~2x patch, capped at 192)")
     p.add_argument("--lr", type=float, default=0.0, help="0 = per-model default")
+    p.add_argument("--lr-decay-steps", type=int, default=0,
+                   help="staircase LR decay interval in steps (0 = constant LR)")
+    p.add_argument("--lr-decay-rate", type=float, default=0.1)
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--dp", type=int, default=0, help="data-parallel devices (0=all)")
     p.add_argument("--ema", type=float, default=0.0)
@@ -41,7 +47,13 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--multi-scale", action="store_true",
                    help="VDSR joint x2/x3/x4 training (pre-upscale models)")
     p.add_argument("--pretrain-steps", type=int, default=0, help="srgan MSE phase")
+    p.add_argument("--g-init", default="",
+                   help="srgan: init generator from this srresnet run dir "
+                        "(skips the MSE pretrain phase)")
     p.add_argument("--vgg-weights", default="", help="VGG19 npz/h5 for srgan")
+    p.add_argument("--feature-net", default="",
+                   help="srgan: self-trained feature-net ckpt dir for the "
+                        "perceptual loss (offline substitute for VGG19)")
     p.add_argument("--eval-every", type=int, default=2000)
     p.add_argument("--ckpt-every", type=int, default=2000)
     p.add_argument("--log-every", type=int, default=100)
@@ -70,6 +82,10 @@ def _config_from_args(args) -> "ExperimentConfig":
     channels = 3 if args.model in ("srresnet", "srgan") else 1
     patch = args.patch_size or d["patch"]
     patch -= patch % args.scale  # keep LR/HR grids aligned
+    # Host->device transfer is the training loop's only per-step traffic;
+    # ship tiles ~2x the crop edge (4x the pixels) instead of a fixed 192²
+    # so small-patch models (SRCNN 33²) don't pay for bytes they never crop.
+    tile = getattr(args, "tile_size", 0) or min(192, max(2 * patch, 96))
     return ExperimentConfig(
         model=ModelConfig(name=args.model, scale=args.scale, channels=channels),
         data=DataConfig(
@@ -77,13 +93,15 @@ def _config_from_args(args) -> "ExperimentConfig":
             eval_dir=args.eval_data,
             patch_size=patch,
             batch_size=args.batch_size,
-            tile_size=max(192, patch),
+            tile_size=max(tile, patch),
             scales=(2, 3, 4) if getattr(args, "multi_scale", False) else (),
             seed=args.seed,
         ),
         train=TrainConfig(
             steps=args.steps,
             learning_rate=args.lr or d["lr"],
+            lr_decay_steps=args.lr_decay_steps,
+            lr_decay_rate=args.lr_decay_rate,
             grad_clip_norm=d["clip"],
             bf16=args.bf16,
             dp=args.dp,
@@ -118,9 +136,13 @@ def cmd_train(args) -> int:
             from ml_super_resolution_tpu.train.gan import GANTrainer
 
             trainer = GANTrainer(
-                cfg, workdir=workdir, vgg_weights=args.vgg_weights or None
+                cfg, workdir=workdir, vgg_weights=args.vgg_weights or None,
+                feature_net=args.feature_net or None,
             )
-            trainer.fit(loader, eval_images=eval_imgs, seed=args.seed)
+            state = trainer.fit(loader, eval_images=eval_imgs, seed=args.seed,
+                                g_init=args.g_init or None)
+            final = trainer.evaluate(state, eval_imgs)
+            print(json.dumps({"final_eval": final}))
         else:
             from ml_super_resolution_tpu.train.trainer import Trainer
 
@@ -132,7 +154,13 @@ def cmd_train(args) -> int:
 
 
 def _load_run(workdir: str):
-    """Rebuild trainer + latest state from a self-describing run dir."""
+    """Rebuild trainer + latest state from a self-describing run dir.
+
+    srgan run dirs checkpoint a ``GANState`` (g/d params + both optimizers);
+    eval/upscale/serve only need the generator, so restore with the GAN
+    template and re-pack the generator half into a plain ``TrainState``.
+    """
+    from ml_super_resolution_tpu.train.checkpoint import CheckpointManager
     from ml_super_resolution_tpu.train.trainer import Trainer
     from ml_super_resolution_tpu.utils.config import ExperimentConfig
 
@@ -141,9 +169,19 @@ def _load_run(workdir: str):
     cfg = cfg.replace(train=dataclasses.replace(cfg.train, dp=1))
     trainer = Trainer(cfg, workdir=None)
     trainer.ckpt = None
-    from ml_super_resolution_tpu.train.checkpoint import CheckpointManager
-
     mgr = CheckpointManager(wd / "ckpts", max_to_keep=1)
+    if cfg.model.name == "srgan":
+        from ml_super_resolution_tpu.train.gan import GANTrainer
+
+        gan = GANTrainer(cfg, workdir=None)
+        restored = mgr.restore_latest(gan.init_state(0))
+        if restored is None:
+            raise SystemExit(f"no checkpoint under {wd}/ckpts")
+        gstate, step = restored
+        state = trainer.init_state(0).replace(
+            step=gstate.step, params=gstate.g_params, batch_stats=gstate.g_stats
+        )
+        return trainer, state, step, cfg
     template = trainer.init_state(0)
     restored = mgr.restore_latest(template)
     if restored is None:
@@ -241,6 +279,25 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_featurenet(args) -> int:
+    """Train the self-supervised perceptual backbone (models/featurenet.py)."""
+    from ml_super_resolution_tpu.data.datasets import make_dataset
+    from ml_super_resolution_tpu.data.loader import TileLoader
+    from ml_super_resolution_tpu.models.featurenet import (
+        fit_feature_net,
+        save_feature_net,
+    )
+
+    ds = make_dataset(args.data or None, n=800, size=256, seed=args.seed)
+    loader = TileLoader(ds, batch_size=args.batch_size, tile_size=192,
+                        seed=args.seed)
+    with loader:
+        params = fit_feature_net(loader, steps=args.steps, seed=args.seed)
+    out = save_feature_net(params, args.workdir)
+    print(json.dumps({"featurenet": str(out), "steps": args.steps}))
+    return 0
+
+
 def cmd_bench(args) -> int:
     import bench  # repo-root harness
 
@@ -281,6 +338,16 @@ def main(argv=None) -> int:
     p_serve.add_argument("--port", type=int, default=8600)
     p_serve.add_argument("--pallas", action="store_true")
     p_serve.set_defaults(fn=cmd_serve)
+
+    p_feat = sub.add_parser(
+        "featurenet", help="train the offline perceptual-loss backbone"
+    )
+    p_feat.add_argument("--workdir", required=True)
+    p_feat.add_argument("--data", default="", help="HR dir (synthetic if empty)")
+    p_feat.add_argument("--steps", type=int, default=3000)
+    p_feat.add_argument("--batch-size", type=int, default=32)
+    p_feat.add_argument("--seed", type=int, default=0)
+    p_feat.set_defaults(fn=cmd_featurenet)
 
     p_bench = sub.add_parser("bench", help="run the benchmark harness")
     p_bench.set_defaults(fn=cmd_bench)

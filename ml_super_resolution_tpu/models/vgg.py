@@ -25,9 +25,11 @@ from flax import linen as nn
 # block -> number of convs; VGG19 = 2,2,4,4,4.
 _VGG19_LAYOUT = ((64, 2), (128, 2), (256, 4), (512, 4), (512, 4))
 
-# ImageNet RGB statistics (caffe-style mean, [0,255] input) used by the
-# original VGG19; we keep inputs in [0,1] and fold the 255 scale in.
-_MEAN_RGB = np.array([123.68, 116.779, 103.939], dtype=np.float32) / 255.0
+# Caffe-VGG19 preprocessing: inputs are BGR in [0,255] minus the ImageNet
+# channel means.  Pretrained Keras/caffe conv kernels expect exactly this
+# range and channel order — feeding RGB [0,1] mis-scales activations ~255x
+# and swaps R/B, making the perceptual loss meaningless.
+_MEAN_BGR = np.array([103.939, 116.779, 123.68], dtype=np.float32)
 
 
 class VGG19Features(nn.Module):
@@ -39,8 +41,8 @@ class VGG19Features(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        # x: (N, H, W, 3) in [0,1] -> mean-centered (paper's VGG range).
-        x = x - jnp.asarray(_MEAN_RGB, dtype=x.dtype)
+        # x: (N, H, W, 3) RGB in [0,1] -> caffe range: BGR, [0,255], mean-sub.
+        x = x[..., ::-1] * 255.0 - jnp.asarray(_MEAN_BGR, dtype=x.dtype)
         for b, (feats, n_convs) in enumerate(_VGG19_LAYOUT, start=1):
             for c in range(1, n_convs + 1):
                 x = nn.Conv(

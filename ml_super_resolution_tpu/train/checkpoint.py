@@ -31,6 +31,9 @@ class CheckpointManager:
     def save(self, step: int, state: Any) -> None:
         self._mgr.save(step, args=ocp.args.StandardSave(state))
 
+    def latest_step(self) -> int | None:
+        return self._mgr.latest_step()
+
     def restore_latest(self, template: Any) -> tuple[Any, int] | None:
         """Restore into the structure of ``template``; None if no checkpoint."""
         step = self._mgr.latest_step()

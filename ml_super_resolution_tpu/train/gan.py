@@ -7,9 +7,9 @@ patches and the generator on
 ``perceptual_weight * VGG54-MSE + pixel MSE + adversarial_weight * BCE``.
 
 TPU shape: the entire alternating step — pair synthesis, G forward, D on
-real+fake (one concatenated batch, single BN pass per half), both optimizer
-updates — is ONE jitted XLA program with donated state, batch sharded over
-the ``data`` axis like the plain trainer.  GAN-stability details per
+real and fake halves (separate BN passes so batch statistics never mix),
+both optimizer updates — is ONE jitted XLA program with donated state,
+batch sharded over the ``data`` axis like the plain trainer.  GAN-stability details per
 SURVEY §7: discriminator logits and VGG features stay f32 even when the
 trunks run bf16.
 """
@@ -64,6 +64,7 @@ class GANTrainer:
         cfg: ExperimentConfig,
         workdir: str | Path | None = None,
         vgg_weights: str | None = None,
+        feature_net: str | Path | None = None,
     ):
         assert cfg.model.name in ("srgan", "srresnet")
         self.cfg = cfg
@@ -79,9 +80,21 @@ class GANTrainer:
         self.discriminator = SRGANDiscriminator(
             dtype=jnp.bfloat16 if cfg.train.bf16 else jnp.float32
         )
-        # VGG54 feature network (frozen); f32 always (stability).
+        # Perceptual backbone (frozen; f32 always for stability): VGG54 when
+        # weights are supplied, else an optional self-trained FeatureNet
+        # (models/featurenet.py — the honest offline substitute).
         self.vgg = VGG19Features(stop_block=5, stop_conv=4)
         self._vgg_weights_path = vgg_weights
+        self.feature_net = None
+        self.feature_params = None
+        if feature_net:
+            from ml_super_resolution_tpu.models.featurenet import (
+                FeatureNet,
+                load_feature_net,
+            )
+
+            self.feature_net = FeatureNet()
+            self.feature_params = load_feature_net(feature_net)
 
         self.g_tx = make_optimizer(cfg.train)
         self.d_tx = make_optimizer(cfg.train)
@@ -109,6 +122,10 @@ class GANTrainer:
             in_shardings=(self.replicated, self.batch_sharding),
             out_shardings=(self.replicated, self.replicated),
         )
+        # per-shape compile cache for eval (one trace per eval-image shape)
+        self._g_eval = jax.jit(
+            lambda p, s, x: self._g_apply(p, s, x, False)[0]
+        )
 
     # ------------------------------------------------------------- state --
     def init_state(self, seed: int = 0, g_params=None, g_stats=None) -> GANState:
@@ -122,12 +139,21 @@ class GANTrainer:
         kg, kd, kv = jax.random.split(jax.random.key(seed), 3)
         g_vars = self.generator.init(kg, g_dummy, train=False)
         d_vars = self.discriminator.init(kd, d_dummy, train=False)
-        vgg_vars = self.vgg.init(kv, d_dummy)
-        self.vgg_params, self.vgg_pretrained = load_vgg19_params(
-            self._vgg_weights_path, vgg_vars["params"]
-        )
-        if not self.vgg_pretrained:
-            self.logger.log("warn", 0, vgg="random-init (no weights file; see models/vgg.py)")
+        if self.feature_net is not None:
+            self.feature_params = jax.device_put(
+                self.feature_params, self.replicated
+            )
+            self.logger.log("percep", 0, backbone="featurenet (self-trained)")
+        else:
+            vgg_vars = self.vgg.init(kv, d_dummy)
+            self.vgg_params, self.vgg_pretrained = load_vgg19_params(
+                self._vgg_weights_path, vgg_vars["params"]
+            )
+            if not self.vgg_pretrained:
+                self.logger.log(
+                    "warn", 0,
+                    vgg="random-init (no weights file; see models/vgg.py)",
+                )
         state = GANState(
             step=jnp.zeros((), jnp.int32),
             g_params=g_params if g_params is not None else g_vars["params"],
@@ -139,10 +165,27 @@ class GANTrainer:
             rng=jax.random.PRNGKey(seed),
         )
         state = state.replace(g_opt=self.g_tx.init(state.g_params))
-        self.vgg_params = jax.device_put(self.vgg_params, self.replicated)
+        if self.vgg_params is not None:
+            self.vgg_params = jax.device_put(self.vgg_params, self.replicated)
         return jax.device_put(state, self.replicated)
 
     # -------------------------------------------------------------- step --
+    def _features(self, x):
+        """Frozen perceptual features (f32): FeatureNet if supplied, else VGG54."""
+        if self.feature_net is not None:
+            return self.feature_net.apply(
+                {"params": self.feature_params}, x.astype(jnp.float32)
+            )
+        return self.vgg.apply({"params": self.vgg_params}, x)
+
+    @property
+    def _percep_scale(self) -> float:
+        # VGG54 features live in caffe [0,255]-input units; the paper's
+        # 1/12.75^2 weight is calibrated for that.  FeatureNet features are
+        # in [0,1]-image units, so fold the 255/20 = 12.75 rescale back in
+        # to keep c.train.perceptual_weight meaning the same thing.
+        return 12.75**2 if self.feature_net is not None else 1.0
+
     def _g_apply(self, params, stats, x, train):
         variables = {"params": params}
         if stats:
@@ -177,9 +220,11 @@ class GANTrainer:
         fake = jax.lax.stop_gradient(fake)
 
         def d_loss_fn(d_params, d_stats):
-            both = jnp.concatenate([hr_b, fake], axis=0)
-            logits, new_stats = self._d_apply(d_params, d_stats, both, train=True)
-            real_logits, fake_logits = jnp.split(logits, 2, axis=0)
+            # Two separate passes (real, then fake) threading batch_stats:
+            # normalizing the halves together would let D discriminate via
+            # batch statistics and skew the running stats (SRGAN recipe).
+            real_logits, mid_stats = self._d_apply(d_params, d_stats, hr_b, train=True)
+            fake_logits, new_stats = self._d_apply(d_params, mid_stats, fake, train=True)
             loss = _bce_logits(real_logits, 1.0) + _bce_logits(fake_logits, 0.0)
             return loss, (new_stats, real_logits, fake_logits)
 
@@ -190,13 +235,13 @@ class GANTrainer:
         d_params = optax.apply_updates(state.d_params, d_updates)
 
         # ---- generator update (new D frozen) -----------------------------
-        vgg_hr = self.vgg.apply({"params": self.vgg_params}, hr_b)
+        feat_hr = self._features(hr_b)
 
         def g_loss_fn(g_params, g_stats):
             sr, new_stats = self._g_apply(g_params, g_stats, lr_b, train=True)
             pixel = jnp.mean(jnp.square(sr - hr_b))
-            vgg_sr = self.vgg.apply({"params": self.vgg_params}, sr)
-            percep = jnp.mean(jnp.square(vgg_sr - vgg_hr))
+            feat_sr = self._features(sr)
+            percep = self._percep_scale * jnp.mean(jnp.square(feat_sr - feat_hr))
             logits, _ = self._d_apply(d_params, d_stats, sr, train=False)
             adv = _bce_logits(logits, 1.0)
             loss = (
@@ -246,7 +291,7 @@ class GANTrainer:
             lr_img, hr_img = eval_pair(
                 jnp.asarray(img), c.model.scale, y_only=False, lr_space=True
             )
-            sr, _ = self._g_apply(state.g_params, state.g_stats, lr_img[None], False)
+            sr = self._g_eval(state.g_params, state.g_stats, lr_img[None])
             sr = jnp.clip(sr[0], 0.0, 1.0)
             psnrs.append(psnr(rgb_to_y(sr), rgb_to_y(hr_img), border=c.model.scale))
             ssims.append(ssim(rgb_to_y(sr), rgb_to_y(hr_img), border=c.model.scale))
@@ -257,18 +302,37 @@ class GANTrainer:
 
     # --------------------------------------------------------------- fit --
     def pretrain(self, loader: Iterable[np.ndarray], steps: int, seed: int = 0):
-        """Phase 1: MSE-only SRResNet pretrain via the shared Trainer."""
+        """Phase 1: MSE-only SRResNet pretrain via the shared Trainer.
+
+        Checkpoints under ``<workdir>/pretrain`` (the MSE phase is the long
+        one in the paper's ~1e5-step protocol — a preemption must not lose
+        it) and auto-resumes from there.
+        """
         import dataclasses
 
         mse_cfg = self.cfg.replace(
             train=dataclasses.replace(self.cfg.train, steps=steps)
         )
-        tr = Trainer(mse_cfg, workdir=None)
-        st = tr.init_state(seed)
-        it = iter(loader)
-        for _ in range(steps):
-            st, _m = tr.train_step(st, next(it))
+        pre_dir = self.workdir / "pretrain" if self.workdir else None
+        tr = Trainer(mse_cfg, workdir=pre_dir)
+        st = tr.fit(loader, steps=steps, seed=seed)
         return st.params, st.batch_stats
+
+    def load_generator_init(self, g_init_dir: str | Path):
+        """Generator params/stats from an existing srresnet run directory."""
+        import dataclasses
+
+        wd = Path(g_init_dir)
+        cfg = ExperimentConfig.load(wd / self.cfg.train.ckpt_dir / "config.json")
+        cfg = cfg.replace(train=dataclasses.replace(cfg.train, dp=1))
+        tr = Trainer(cfg, workdir=None)
+        mgr = CheckpointManager(wd / cfg.train.ckpt_dir, cfg.train.max_to_keep)
+        restored = mgr.restore_latest(tr.init_state(0))
+        if restored is None:
+            raise FileNotFoundError(f"no checkpoint under {wd}")
+        st, step = restored
+        self.logger.log("g_init", step, source=str(wd))
+        return tr.eval_params(st), st.batch_stats
 
     def fit(
         self,
@@ -276,16 +340,27 @@ class GANTrainer:
         steps: int | None = None,
         seed: int = 0,
         eval_images: Sequence[np.ndarray] | None = None,
+        g_init: str | Path | None = None,
     ) -> GANState:
         c = self.cfg
         steps = steps or c.train.steps
         g_params = g_stats = None
-        if c.train.pretrain_steps > 0:
-            self.logger.log("pretrain", 0, steps=c.train.pretrain_steps)
-            g_params, g_stats = self.pretrain(loader, c.train.pretrain_steps, seed)
+        # An adversarial-phase checkpoint supersedes pretraining: skip the
+        # (expensive) MSE phase entirely when fit will restore anyway.
+        will_resume = bool(
+            self.ckpt and c.train.resume and self.ckpt.latest_step() is not None
+        )
+        if not will_resume:
+            if g_init:
+                g_params, g_stats = self.load_generator_init(g_init)
+            elif c.train.pretrain_steps > 0:
+                self.logger.log("pretrain", 0, steps=c.train.pretrain_steps)
+                g_params, g_stats = self.pretrain(
+                    loader, c.train.pretrain_steps, seed
+                )
         state = self.init_state(seed, g_params, g_stats)
         start = 0
-        if self.ckpt and c.train.resume:
+        if will_resume:
             restored = self.ckpt.restore_latest(state)
             if restored is not None:
                 state, start = restored

@@ -46,7 +46,11 @@ def device_timer(fn, *args, iters: int = 10):
     @jax.jit
     def loop(n_iters, *a):
         def body(i, acc):
-            out = fn(*a)
+            # i-dependent perturbation below numerical significance: without
+            # it XLA hoists the loop-invariant fn call out of the loop and
+            # the timer reports near-zero (same trick as bench.py::_iter_time).
+            a0 = a[0] + (i * 1e-30).astype(a[0].dtype) if a else a
+            out = fn(a0, *a[1:]) if a else fn()
             return acc + jnp.sum(jnp.ravel(out)[:1]).astype(jnp.float32)
 
         return jax.lax.fori_loop(0, n_iters, body, jnp.zeros((), jnp.float32))

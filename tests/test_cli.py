@@ -93,3 +93,32 @@ def test_eval_scales_flag(tmp_path, capsys):
     assert set(out) >= {"x2", "x3", "x4"}
     for s in ("x2", "x3", "x4"):
         assert 3 < out[s]["psnr"] < 60
+
+
+def test_cli_srgan_round_trip(tmp_path, capsys):
+    """srgan run dirs checkpoint a GANState; eval/upscale must restore it."""
+    wd = tmp_path / "gan_run"
+    rc = main([
+        "train", "--model", "srgan", "--scale", "4",
+        "--workdir", str(wd), "--steps", "2", "--batch-size", "2",
+        "--patch-size", "32", "--dp", "1", "--pretrain-steps", "1",
+        "--ckpt-every", "2", "--eval-every", "1000", "--log-every", "10",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+
+    rc = main(["eval", "--workdir", str(wd)])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["step"] == 2
+    assert 3 < out["psnr"] < 60
+
+    src = tmp_path / "in.png"
+    Image.fromarray(
+        (np.random.default_rng(0).random((24, 24, 3)) * 255).astype(np.uint8)
+    ).save(src)
+    dst = tmp_path / "out.png"
+    rc = main(["upscale", "--workdir", str(wd), "--input", str(src),
+               "--output", str(dst)])
+    assert rc == 0
+    assert np.asarray(Image.open(dst)).shape == (96, 96, 3)

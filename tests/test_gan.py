@@ -89,3 +89,59 @@ def test_gan_evaluate(cfg):
     out = tr.evaluate(state, imgs)
     assert set(out) == {"psnr", "ssim"}
     assert np.isfinite(out["psnr"])
+
+
+def test_gan_resume_skips_pretrain(cfg, tmp_path, monkeypatch):
+    """A restorable adversarial ckpt must short-circuit the MSE phase."""
+    import dataclasses
+
+    c = cfg.replace(
+        train=dataclasses.replace(
+            cfg.train, steps=2, pretrain_steps=1, ckpt_every=2, log_every=1
+        )
+    )
+    ds = SyntheticImages(n=4, size=64, seed=1)
+    with TileLoader(ds, batch_size=4, tile_size=64, num_workers=1) as loader:
+        tr = GANTrainer(c, workdir=tmp_path / "gan")
+        tr.fit(loader)
+        tr.ckpt.close()
+        # pretrain phase checkpointed under its own subdir (preemption-safe)
+        assert (tmp_path / "gan" / "pretrain" / "ckpts").exists()
+
+        tr2 = GANTrainer(c, workdir=tmp_path / "gan")
+        called = []
+        monkeypatch.setattr(
+            tr2, "pretrain",
+            lambda *a, **k: called.append(1) or (_ for _ in ()).throw(
+                AssertionError("pretrain ran despite resumable checkpoint")
+            ),
+        )
+        state = tr2.fit(loader)  # restores step 2, trains 0 new steps
+        tr2.ckpt.close()
+        assert int(state.step) == 2
+        assert not called
+
+
+def test_gan_featurenet_backbone(cfg, tmp_path):
+    """Self-trained FeatureNet replaces VGG in the perceptual term."""
+    from ml_super_resolution_tpu.models.featurenet import (
+        FeatureNetAE,
+        load_feature_net,
+        save_feature_net,
+    )
+    import jax.numpy as jnp
+
+    ae = FeatureNetAE()
+    params = ae.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))["params"]
+    path = save_feature_net({"encoder": params["encoder"]}, tmp_path / "fn")
+    assert path.exists()
+
+    tr = GANTrainer(cfg, feature_net=path)
+    state = tr.init_state(0)
+    assert tr.vgg_params is None  # VGG never initialized
+    state, m = tr.train_step(state, _tiles())
+    assert np.isfinite(float(m["perceptual"]))
+    # round-trip exactness of the npz save/load
+    loaded = load_feature_net(path)
+    for a, b in zip(jax.tree.leaves(loaded), jax.tree.leaves(params["encoder"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
