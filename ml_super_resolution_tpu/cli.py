@@ -153,6 +153,15 @@ def cmd_train(args) -> int:
     return 0
 
 
+def _parse_tiles(spec: str | int) -> tuple[int, int]:
+    """``"4"`` -> 4 row bands; ``"2x4"`` -> 2x4 (rows x cols) device grid."""
+    s = str(spec).lower()
+    if "x" in s:
+        r, c = s.split("x", 1)
+        return int(r), int(c)
+    return int(s), 1
+
+
 def _load_run(workdir: str):
     """Rebuild trainer + latest state from a self-describing run dir.
 
@@ -222,7 +231,10 @@ def cmd_upscale(args) -> int:
     variables = {"params": trainer.eval_params(state)}
     if state.batch_stats:
         variables["batch_stats"] = state.batch_stats
-    mesh = make_mesh(dp=1, sp=args.tiles) if args.tiles > 1 else None
+    rows, cols = _parse_tiles(args.tiles)
+    mesh = (
+        make_mesh(dp=1, sp=rows, sw=cols) if rows * cols > 1 else None
+    )
 
     in_path, out_path = Path(args.input), Path(args.output)
     if in_path.is_dir():
@@ -324,8 +336,9 @@ def main(argv=None) -> int:
     p_up.add_argument("--workdir", required=True)
     p_up.add_argument("--input", required=True)
     p_up.add_argument("--output", required=True)
-    p_up.add_argument("--tiles", type=int, default=1,
-                      help="spatial shards for tiled inference")
+    p_up.add_argument("--tiles", default="1",
+                      help="spatial shards for tiled inference: N row bands "
+                           "or RxC grid (e.g. --tiles 4 or --tiles 2x4)")
     p_up.add_argument("--batch", type=int, default=8,
                       help="frames per device batch for directory input")
     p_up.add_argument("--pallas", action="store_true",

@@ -16,7 +16,7 @@ import numpy as np
 from ml_super_resolution_tpu.models import MODEL_SPECS
 from ml_super_resolution_tpu.ops.color import rgb_to_ycbcr, ycbcr_to_rgb
 from ml_super_resolution_tpu.ops.resize import imresize
-from ml_super_resolution_tpu.parallel.tiling import tiled_apply
+from ml_super_resolution_tpu.parallel.tiling import tiled_apply, tiled_apply_2d
 
 __all__ = ["upscale_frames", "upscale_image"]
 
@@ -83,26 +83,46 @@ def upscale_frames(
     net_scale = scale if lr_space else 1
     net_halo = halo
     nsp = mesh.shape.get("space", 1) if mesh is not None else 1
-    h = net_in.shape[1]
-    pad = (-h) % nsp if nsp > 1 else 0
-    if nsp > 1 and (h + pad) // nsp >= 2 * net_halo:
-        if pad:
-            net_in_p = jnp.pad(net_in, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    nsw = mesh.shape.get("space_w", 1) if mesh is not None else 1
+    h, w = net_in.shape[1:3]
+    pad_h = (-h) % nsp if nsp > 1 else 0
+    pad_w = (-w) % nsw if nsw > 1 else 0
+    ok_h = nsp <= 1 or (h + pad_h) // nsp >= 2 * net_halo
+    ok_w = nsw <= 1 or (w + pad_w) // nsw >= 2 * net_halo
+    if (nsp > 1 or nsw > 1) and ok_h and ok_w:
+        net_in_p = (
+            jnp.pad(net_in, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+            if (pad_h or pad_w)
+            else net_in
+        )
+        if nsw > 1:
+            sr = tiled_apply_2d(
+                apply_fn, net_in_p, mesh, halo=net_halo, scale=net_scale
+            )
         else:
-            net_in_p = net_in
-        sr = tiled_apply(apply_fn, net_in_p, mesh, halo=net_halo, scale=net_scale)
-        sr = sr[:, : h * net_scale]
-        if pad:
-            # Zero-padding is not SAME padding once convs stack: the last
-            # ``halo`` real rows saw pad-region activations.  Recompute them
-            # exactly with a short whole-frame strip whose bottom edge is the
-            # true frame edge (top edge is >= halo rows from the kept rows).
-            s_rows = min(h, 2 * net_halo)
-            strip = apply_fn(net_in[:, h - s_rows :])
-            fix = net_halo * net_scale
-            sr = jnp.concatenate([sr[:, : (h - net_halo) * net_scale], strip[:, -fix:]], axis=1)
+            sr = tiled_apply(
+                apply_fn, net_in_p, mesh, halo=net_halo, scale=net_scale
+            )
+        sr = sr[:, : h * net_scale, : w * net_scale]
+        # Zero-padding is not SAME padding once convs stack: the last
+        # ``halo`` real rows/cols saw pad-region activations.  Recompute
+        # them exactly with short whole-frame strips whose far edge is the
+        # true frame edge (the strips run over the *unpadded* input, so the
+        # bottom-right corner is exact in both).
+        fix = net_halo * net_scale
+        if pad_h:
+            strip = apply_fn(net_in[:, h - min(h, 2 * net_halo) :])
+            sr = jnp.concatenate(
+                [sr[:, : (h - net_halo) * net_scale], strip[:, -fix:]], axis=1
+            )
+        if pad_w:
+            strip = apply_fn(net_in[:, :, w - min(w, 2 * net_halo) :])
+            sr = jnp.concatenate(
+                [sr[:, :, : (w - net_halo) * net_scale], strip[:, :, -fix:]],
+                axis=2,
+            )
     else:
-        # frame too short to tile at this halo, or no space axis: whole-frame
+        # frame too small to tile at this halo, or no spatial axes: whole
         sr = apply_fn(net_in)
 
     if y_only:

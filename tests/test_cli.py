@@ -122,3 +122,28 @@ def test_cli_srgan_round_trip(tmp_path, capsys):
                "--output", str(dst)])
     assert rc == 0
     assert np.asarray(Image.open(dst)).shape == (96, 96, 3)
+
+
+def test_cli_tiles_2d_grid(tmp_path, capsys):
+    """--tiles RxC routes through tiled_apply_2d and matches 1-device output."""
+    wd = tmp_path / "run"
+    main([
+        "train", "--model", "espcn", "--scale", "2",
+        "--workdir", str(wd), "--steps", "2", "--batch-size", "4",
+        "--patch-size", "32", "--dp", "1",
+        "--ckpt-every", "2", "--eval-every", "1000", "--log-every", "10",
+    ])
+    capsys.readouterr()
+    src = tmp_path / "in.png"
+    # 45x53: indivisible by a 2x4 grid on both axes
+    Image.fromarray(
+        (np.random.default_rng(1).random((45, 53, 3)) * 255).astype(np.uint8)
+    ).save(src)
+    dst1, dst2 = tmp_path / "whole.png", tmp_path / "tiled2d.png"
+    main(["upscale", "--workdir", str(wd), "--input", str(src), "--output", str(dst1)])
+    rc = main(["upscale", "--workdir", str(wd), "--input", str(src),
+               "--output", str(dst2), "--tiles", "2x4"])
+    assert rc == 0
+    np.testing.assert_array_equal(
+        np.asarray(Image.open(dst2)), np.asarray(Image.open(dst1))
+    )

@@ -175,3 +175,32 @@ def test_tiled_2d_rejects_small_blocks(rng):
     x = jnp.zeros((1, 32, 32, 1))  # col blocks 8 < 2*8
     with pytest.raises(ValueError):
         tiled_apply_2d(lambda v: v, x, mesh, halo=8, scale=1)
+
+
+def test_upscale_frames_2d_tiled_equals_whole(rng):
+    """Product-path 2D tiling (mesh with space_w) == whole-frame bitwise,
+    on H and W both indivisible by the grid (pad + strip fixup, both axes)."""
+    cfg = ModelConfig(name="espcn", scale=2, channels=1)
+    model = build_model(cfg)
+    dummy = jnp.zeros((1, 8, 8, 1), jnp.float32)
+    variables = model.init(jax.random.key(0), dummy, train=False)
+    # 45 % 2 != 0 and 53 % 4 != 0: both axes need pad + exact fixup
+    frames = (rng.random((1, 45, 53, 3)) * 255).astype(np.uint8)
+    whole = upscale_frames(model, variables, jnp.asarray(frames), "espcn", 2, mesh=None)
+    mesh = make_mesh(dp=1, sp=2, sw=4)
+    tiled = upscale_frames(model, variables, jnp.asarray(frames), "espcn", 2, mesh=mesh)
+    assert whole.shape == (1, 90, 106, 3)
+    np.testing.assert_array_equal(np.asarray(tiled), np.asarray(whole))
+
+
+def test_upscale_frames_2d_divisible(rng):
+    """2D tiling on exactly-divisible dims (no fixup path)."""
+    cfg = ModelConfig(name="srcnn", scale=2, channels=1)
+    model = build_model(cfg)
+    dummy = jnp.zeros((1, 8, 8, 1), jnp.float32)
+    variables = model.init(jax.random.key(0), dummy, train=False)
+    frames = (rng.random((1, 64, 64, 3)) * 255).astype(np.uint8)
+    whole = upscale_frames(model, variables, jnp.asarray(frames), "srcnn", 2, mesh=None)
+    mesh = make_mesh(dp=1, sp=2, sw=2)
+    tiled = upscale_frames(model, variables, jnp.asarray(frames), "srcnn", 2, mesh=mesh)
+    np.testing.assert_array_equal(np.asarray(tiled), np.asarray(whole))
