@@ -41,9 +41,15 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
                    help="staircase LR decay interval in steps (0 = constant LR)")
     p.add_argument("--lr-decay-rate", type=float, default=0.1)
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--pallas-preprocess", action="store_true",
+                   help="K3: fused Pallas luma+degrade stage in the train "
+                        "step (Y-channel single-scale models)")
     p.add_argument("--dp", type=int, default=0, help="data-parallel devices (0=all)")
     p.add_argument("--ema", type=float, default=0.0)
     p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--deterministic", action="store_true",
+                   help="bit-reproducible runs: single-thread seeded data "
+                        "order (same seed => identical metrics)")
     p.add_argument("--multi-scale", action="store_true",
                    help="VDSR joint x2/x3/x4 training (pre-upscale models)")
     p.add_argument("--pretrain-steps", type=int, default=0, help="srgan MSE phase")
@@ -54,6 +60,13 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--feature-net", default="",
                    help="srgan: self-trained feature-net ckpt dir for the "
                         "perceptual loss (offline substitute for VGG19)")
+    p.add_argument("--coordinator", default="",
+                   help="host:port of process 0 for multi-host training "
+                        "(jax.distributed; unset = single-process)")
+    p.add_argument("--num-processes", type=int, default=0,
+                   help="total processes in the multi-host job (0 = infer)")
+    p.add_argument("--process-id", type=int, default=-1,
+                   help="this process's id (-1 = infer)")
     p.add_argument("--eval-every", type=int, default=2000)
     p.add_argument("--ckpt-every", type=int, default=2000)
     p.add_argument("--log-every", type=int, default=100)
@@ -96,6 +109,7 @@ def _config_from_args(args) -> "ExperimentConfig":
             tile_size=max(tile, patch),
             scales=(2, 3, 4) if getattr(args, "multi_scale", False) else (),
             seed=args.seed,
+            deterministic=getattr(args, "deterministic", False),
         ),
         train=TrainConfig(
             steps=args.steps,
@@ -104,6 +118,7 @@ def _config_from_args(args) -> "ExperimentConfig":
             lr_decay_rate=args.lr_decay_rate,
             grad_clip_norm=d["clip"],
             bf16=args.bf16,
+            pallas_preprocess=getattr(args, "pallas_preprocess", False),
             dp=args.dp,
             ema_decay=args.ema,
             resume=not args.no_resume,
@@ -118,7 +133,10 @@ def _config_from_args(args) -> "ExperimentConfig":
 def cmd_train(args) -> int:
     from ml_super_resolution_tpu.data.datasets import load_eval_images, make_dataset
     from ml_super_resolution_tpu.data.loader import TileLoader
+    from ml_super_resolution_tpu.parallel.distributed import maybe_initialize
 
+    # Must run before any jax device/mesh use (no-op when --coordinator unset).
+    maybe_initialize(args.coordinator, args.num_processes, args.process_id)
     cfg = _config_from_args(args)
     workdir = args.workdir or f"runs/{args.model}_x{args.scale}"
     ds = make_dataset(cfg.data.train_dir or None, n=800, size=256, seed=cfg.data.seed)
@@ -130,6 +148,7 @@ def cmd_train(args) -> int:
         patches_per_tile=cfg.data.patches_per_tile,
         num_workers=cfg.data.num_workers,
         seed=cfg.data.seed,
+        deterministic=cfg.data.deterministic,
     )
     with loader:
         if args.model == "srgan":
@@ -162,12 +181,14 @@ def _parse_tiles(spec: str | int) -> tuple[int, int]:
     return int(s), 1
 
 
-def _load_run(workdir: str):
+def _load_run(workdir: str, best: bool = False):
     """Rebuild trainer + latest state from a self-describing run dir.
 
     srgan run dirs checkpoint a ``GANState`` (g/d params + both optimizers);
     eval/upscale/serve only need the generator, so restore with the GAN
     template and re-pack the generator half into a plain ``TrainState``.
+    ``best=True`` loads the best-eval-PSNR retention checkpoint
+    (<workdir>/best) instead of the latest step.
     """
     from ml_super_resolution_tpu.train.checkpoint import CheckpointManager
     from ml_super_resolution_tpu.train.trainer import Trainer
@@ -178,7 +199,10 @@ def _load_run(workdir: str):
     cfg = cfg.replace(train=dataclasses.replace(cfg.train, dp=1))
     trainer = Trainer(cfg, workdir=None)
     trainer.ckpt = None
-    mgr = CheckpointManager(wd / "ckpts", max_to_keep=1)
+    ckpt_dir = wd / ("best" if best else "ckpts")
+    if best and not ckpt_dir.exists():
+        raise SystemExit(f"no best-PSNR checkpoint under {ckpt_dir}")
+    mgr = CheckpointManager(ckpt_dir, max_to_keep=1)
     if cfg.model.name == "srgan":
         from ml_super_resolution_tpu.train.gan import GANTrainer
 
@@ -202,7 +226,7 @@ def _load_run(workdir: str):
 def cmd_eval(args) -> int:
     from ml_super_resolution_tpu.data.datasets import load_eval_images
 
-    trainer, state, step, cfg = _load_run(args.workdir)
+    trainer, state, step, cfg = _load_run(args.workdir, best=getattr(args, "best", False))
     imgs = load_eval_images(args.data or cfg.data.eval_dir or None)
     scales = (
         [int(s) for s in args.scales.split(",")]
@@ -227,7 +251,7 @@ def cmd_upscale(args) -> int:
     from ml_super_resolution_tpu.infer import upscale_frames, upscale_image
     from ml_super_resolution_tpu.parallel.mesh import make_mesh
 
-    trainer, state, step, cfg = _load_run(args.workdir)
+    trainer, state, step, cfg = _load_run(args.workdir, best=getattr(args, "best", False))
     variables = {"params": trainer.eval_params(state)}
     if state.batch_stats:
         variables["batch_stats"] = state.batch_stats
@@ -281,7 +305,7 @@ def cmd_upscale(args) -> int:
 def cmd_serve(args) -> int:
     from ml_super_resolution_tpu.serve import serve
 
-    trainer, state, step, cfg = _load_run(args.workdir)
+    trainer, state, step, cfg = _load_run(args.workdir, best=getattr(args, "best", False))
     print(json.dumps({
         "serving": f"http://{args.host}:{args.port}", "model": cfg.model.name,
         "scale": cfg.model.scale, "step": step,
@@ -310,6 +334,13 @@ def cmd_featurenet(args) -> int:
     return 0
 
 
+def cmd_parity(args) -> int:
+    """Paper-protocol parity table vs BASELINE.md (see parity.py)."""
+    from ml_super_resolution_tpu.parity import main_parity
+
+    return main_parity(args)
+
+
 def cmd_bench(args) -> int:
     import bench  # repo-root harness
 
@@ -327,6 +358,8 @@ def main(argv=None) -> int:
 
     p_eval = sub.add_parser("eval", help="evaluate a run on a benchmark set")
     p_eval.add_argument("--workdir", required=True)
+    p_eval.add_argument("--best", action="store_true",
+                        help="load the best-eval-PSNR checkpoint, not latest")
     p_eval.add_argument("--data", default="", help="benchmark dir (Set5 layout)")
     p_eval.add_argument("--scales", default="",
                         help="comma list, e.g. 2,3,4 (multi-scale models)")
@@ -334,6 +367,7 @@ def main(argv=None) -> int:
 
     p_up = sub.add_parser("upscale", help="upscale an image with a trained run")
     p_up.add_argument("--workdir", required=True)
+    p_up.add_argument("--best", action="store_true")
     p_up.add_argument("--input", required=True)
     p_up.add_argument("--output", required=True)
     p_up.add_argument("--tiles", default="1",
@@ -347,6 +381,7 @@ def main(argv=None) -> int:
 
     p_serve = sub.add_parser("serve", help="HTTP upscaling endpoint")
     p_serve.add_argument("--workdir", required=True)
+    p_serve.add_argument("--best", action="store_true")
     p_serve.add_argument("--host", default="127.0.0.1")
     p_serve.add_argument("--port", type=int, default=8600)
     p_serve.add_argument("--pallas", action="store_true")
@@ -361,6 +396,22 @@ def main(argv=None) -> int:
     p_feat.add_argument("--batch-size", type=int, default=32)
     p_feat.add_argument("--seed", type=int, default=0)
     p_feat.set_defaults(fn=cmd_featurenet)
+
+    p_par = sub.add_parser(
+        "parity",
+        help="paper-protocol PSNR parity table on benchmark sets "
+             "(the BASELINE.md comparison, one command)",
+    )
+    p_par.add_argument("--data", required=True,
+                       help="dir of benchmark set folders (Set5/Set14/BSD100) "
+                            "or one set folder")
+    p_par.add_argument("--workdirs", default="",
+                       help="comma list of trained run dirs to score")
+    p_par.add_argument("--sets", default="", help="subset, e.g. Set5,Set14")
+    p_par.add_argument("--best", action="store_true",
+                       help="use each run's best-PSNR checkpoint")
+    p_par.add_argument("--out", default="", help="also write markdown here")
+    p_par.set_defaults(fn=cmd_parity)
 
     p_bench = sub.add_parser("bench", help="run the benchmark harness")
     p_bench.set_defaults(fn=cmd_bench)

@@ -30,6 +30,13 @@ class TileLoader:
     crops (host rng — cheap; the *training* crop/augment randomness happens
     on device with jax PRNG, so host randomness only shuffles data order and
     never affects reproducibility of the jitted step given the same tiles).
+
+    ``deterministic=True`` pins the batch stream: one producer thread, one
+    seeded permutation stream with epoch boundaries — two loaders with the
+    same (dataset, seed, shapes) yield identical batch sequences, making
+    whole training runs bit-reproducible end to end (SURVEY §5.2; the jitted
+    step is already deterministic given the same tiles).  The default keeps
+    ``num_workers`` racing on the shared queue for throughput.
     """
 
     def __init__(
@@ -42,12 +49,14 @@ class TileLoader:
         prefetch: int = 4,
         seed: int = 0,
         cache_bytes: int = 2 << 30,
+        deterministic: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
         self.tile_size = tile_size
         self.patches_per_tile = max(1, patches_per_tile)
-        self.num_workers = max(1, num_workers)
+        self.deterministic = deterministic
+        self.num_workers = 1 if deterministic else max(1, num_workers)
         self.prefetch = max(1, prefetch)
         self.seed = seed
         self._q: queue.Queue[np.ndarray] = queue.Queue(maxsize=self.prefetch)

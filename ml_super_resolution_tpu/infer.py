@@ -64,18 +64,26 @@ def upscale_frames(
         chroma = None
 
     tiled = mesh is not None and mesh.shape.get("space", 1) > 1
-    if use_pallas and model_name == "espcn" and y_only and not tiled:
-        from ml_super_resolution_tpu.kernels.espcn_fused import (
-            espcn_fused_forward,
-            extract_espcn_weights,
-        )
+    apply_fn = None
+    if use_pallas:
+        if model_name == "espcn" and y_only and not tiled:
+            from ml_super_resolution_tpu.kernels.espcn_fused import (
+                espcn_fused_forward,
+                extract_espcn_weights,
+            )
 
-        fused_weights = extract_espcn_weights(variables["params"])
+            fused_weights = extract_espcn_weights(variables["params"])
 
-        def apply_fn(inp):
-            return espcn_fused_forward(fused_weights, inp, scale)
+            def apply_fn(inp):
+                return espcn_fused_forward(fused_weights, inp, scale)
 
-    else:
+        else:
+            # K1/K2-routed forwards (vdsr, srresnet, srgan) — kernels are
+            # shape-generic, so they also run per-shard under tiling.
+            from ml_super_resolution_tpu.kernels.apply import pallas_apply_fn
+
+            apply_fn = pallas_apply_fn(model_name, variables, scale)
+    if apply_fn is None:
 
         def apply_fn(inp):
             return model.apply(variables, inp, train=False)

@@ -32,7 +32,13 @@ from ml_super_resolution_tpu.models.srresnet import SRGANDiscriminator
 from ml_super_resolution_tpu.models.vgg import VGG19Features, load_vgg19_params
 from ml_super_resolution_tpu.ops.patches import training_pairs
 from ml_super_resolution_tpu.train.checkpoint import CheckpointManager
-from ml_super_resolution_tpu.train.trainer import Trainer, make_optimizer
+from ml_super_resolution_tpu.train.trainer import (
+    Trainer,
+    load_best_psnr,
+    make_optimizer,
+    maybe_save_best,
+    put_batch,
+)
 from ml_super_resolution_tpu.utils.config import ExperimentConfig
 from ml_super_resolution_tpu.utils.logging import MetricsLogger
 
@@ -99,19 +105,34 @@ class GANTrainer:
         self.g_tx = make_optimizer(cfg.train)
         self.d_tx = make_optimizer(cfg.train)
 
-        dp = cfg.train.dp or len(jax.devices())
-        self.mesh = Mesh(np.asarray(jax.devices()[:dp]).reshape(dp), ("data",))
-        self.batch_sharding = NamedSharding(self.mesh, P("data"))
+        if jax.process_count() > 1:
+            from ml_super_resolution_tpu.parallel.distributed import (
+                make_multihost_mesh,
+            )
+
+            self.mesh = make_multihost_mesh()
+            self.batch_sharding = NamedSharding(self.mesh, P(("dcn", "data")))
+        else:
+            dp = cfg.train.dp or len(jax.devices())
+            while cfg.data.batch_size % dp:  # see Trainer: dp must divide batch
+                dp -= 1
+            self.mesh = Mesh(np.asarray(jax.devices()[:dp]).reshape(dp), ("data",))
+            self.batch_sharding = NamedSharding(self.mesh, P("data"))
         self.replicated = NamedSharding(self.mesh, P())
 
         self.workdir = Path(workdir) if workdir else None
         self.logger = MetricsLogger(self.workdir, echo=True)
         self.ckpt: CheckpointManager | None = None
+        self.ckpt_best: CheckpointManager | None = None
         if self.workdir:
             self.ckpt = CheckpointManager(
                 self.workdir / cfg.train.ckpt_dir, cfg.train.max_to_keep
             )
             self.ckpt.save_config(cfg)
+            # Best-PSNR retention, same contract as Trainer (<workdir>/best).
+            # For GANs "best PSNR" is a fidelity anchor, not the whole story
+            # — the perceptual tradeoff is judged from the eval curves.
+            self.ckpt_best = CheckpointManager(self.workdir / "best", max_to_keep=1)
 
         self.vgg_params = None  # set in init_state
         self.vgg_pretrained = False
@@ -276,7 +297,7 @@ class GANTrainer:
         )
 
     def train_step(self, state: GANState, tiles: np.ndarray):
-        return self._gan_step(state, tiles)
+        return self._gan_step(state, put_batch(self.batch_sharding, tiles))
 
     # -------------------------------------------------------------- eval --
     def evaluate(self, state: GANState, images) -> dict[str, float]:
@@ -366,6 +387,7 @@ class GANTrainer:
                 state, start = restored
                 self.logger.log("resume", start)
         it = iter(loader)
+        best_psnr = load_best_psnr(self.workdir)
         t0 = time.perf_counter()
         for step in range(start, steps):
             state, metrics = self.train_step(state, next(it))
@@ -380,9 +402,14 @@ class GANTrainer:
             if eval_images and (step + 1) % c.train.eval_every == 0:
                 ev = self.evaluate(state, eval_images)
                 self.logger.log("eval", step + 1, **ev)
+                best_psnr = maybe_save_best(
+                    self.ckpt_best, self.workdir, step + 1, state, ev, best_psnr
+                )
             if self.ckpt and (step + 1) % c.train.ckpt_every == 0:
                 self.ckpt.save(step + 1, jax.device_get(state))
         if self.ckpt:
             self.ckpt.save(steps, jax.device_get(state))
             self.ckpt.wait()
+        if self.ckpt_best:
+            self.ckpt_best.wait()
         return state

@@ -83,19 +83,39 @@ class Trainer:
         )
         self.tx = make_optimizer(cfg.train)
 
-        dp = cfg.train.dp or len(jax.devices())
-        self.mesh = Mesh(np.asarray(jax.devices()[:dp]).reshape(dp), ("data",))
-        self.batch_sharding = NamedSharding(self.mesh, P("data"))
+        if jax.process_count() > 1:
+            # Multi-host DP (SURVEY §5.8): (dcn, data) mesh, slow axis
+            # outermost; each process feeds its local shard of the global
+            # batch (see _put_batch).  --dp is ignored: every device joins.
+            from ml_super_resolution_tpu.parallel.distributed import (
+                make_multihost_mesh,
+            )
+
+            self.mesh = make_multihost_mesh()
+            self.batch_sharding = NamedSharding(self.mesh, P(("dcn", "data")))
+        else:
+            dp = cfg.train.dp or len(jax.devices())
+            # the batch shards over 'data': use the largest device count
+            # that divides it (a 4-image debug batch on 8 devices -> dp=4)
+            while cfg.data.batch_size % dp:
+                dp -= 1
+            self.mesh = Mesh(np.asarray(jax.devices()[:dp]).reshape(dp), ("data",))
+            self.batch_sharding = NamedSharding(self.mesh, P("data"))
         self.replicated = NamedSharding(self.mesh, P())
 
         self.workdir = Path(workdir) if workdir else None
         self.logger = MetricsLogger(self.workdir, echo=True)
         self.ckpt: CheckpointManager | None = None
+        self.ckpt_best: CheckpointManager | None = None
         if self.workdir:
             self.ckpt = CheckpointManager(
                 self.workdir / cfg.train.ckpt_dir, cfg.train.max_to_keep
             )
             self.ckpt.save_config(cfg)
+            # Best-PSNR retention (SURVEY §5.4): <workdir>/best holds the
+            # single checkpoint with the highest eval PSNR seen so far, with
+            # the winning metrics beside it in best.json.
+            self.ckpt_best = CheckpointManager(self.workdir / "best", max_to_keep=1)
 
         if cfg.train.debug_nans:
             jax.config.update("jax_debug_nans", True)
@@ -158,7 +178,27 @@ class Trainer:
     def _step_impl(self, state: TrainState, tiles: jnp.ndarray):
         c = self.cfg
         key = jax.random.fold_in(state.rng, state.step)
-        if c.data.scales and not self.spec["lr_space"]:
+        use_k3 = (
+            c.train.pallas_preprocess
+            and c.model.channels == 1
+            and not c.data.scales
+        )
+        if use_k3:
+            # K3 (SURVEY §2b): crop/augment on device, then the fused Pallas
+            # luma+degrade kernel instead of the XLA ops path.  Data path
+            # only — no gradients flow through it.
+            from ml_super_resolution_tpu.kernels.preprocess import preprocess_pairs
+            from ml_super_resolution_tpu.ops.patches import random_hr_patches
+            from ml_super_resolution_tpu.ops.resize import imresize
+
+            t = tiles.astype(jnp.float32) / 255.0 if tiles.dtype == jnp.uint8 else tiles
+            hr_rgb = random_hr_patches(
+                key, t, c.data.patch_size, c.model.scale, c.data.augment
+            )
+            hr_batch, lr_batch = preprocess_pairs(hr_rgb, c.model.scale)
+            if not self.spec["lr_space"]:
+                lr_batch = imresize(lr_batch, scale=float(c.model.scale))
+        elif c.data.scales and not self.spec["lr_space"]:
             from ml_super_resolution_tpu.ops.patches import training_pairs_multiscale
 
             lr_batch, hr_batch = training_pairs_multiscale(
@@ -206,6 +246,9 @@ class Trainer:
     def train_step(self, state: TrainState, tiles: np.ndarray):
         """One jitted step; ``tiles`` is a uint8 (N, T, T, 3) host batch."""
         return self._train_step(state, tiles)
+
+    def _put_batch(self, batch: np.ndarray):
+        return put_batch(self.batch_sharding, batch)
 
     # -------------------------------------------------------------- eval --
     def _eval_forward(self, params, batch_stats, lr_img):
@@ -263,17 +306,18 @@ class Trainer:
         # host->device transfer; stage the next batch onto the device while
         # the current step computes (SURVEY §3.5 "one transfer per batch").
         def prefetched(raw_it):
-            nxt = jax.device_put(next(raw_it), self.batch_sharding)
+            nxt = self._put_batch(next(raw_it))
             while True:
                 cur = nxt
                 try:
-                    nxt = jax.device_put(next(raw_it), self.batch_sharding)
+                    nxt = self._put_batch(next(raw_it))
                 except StopIteration:
                     yield cur
                     return
                 yield cur
 
         it = prefetched(iter(loader))
+        best_psnr = self._load_best_psnr()
         t0 = time.perf_counter()
         for step in range(start_step, steps):
             tiles = next(it)
@@ -291,9 +335,56 @@ class Trainer:
             if eval_images and (step + 1) % c.train.eval_every == 0:
                 ev = self.evaluate(state, eval_images)
                 self.logger.log("eval", step + 1, **ev)
+                best_psnr = self._maybe_save_best(step + 1, state, ev, best_psnr)
             if self.ckpt and (step + 1) % c.train.ckpt_every == 0:
                 self.ckpt.save(step + 1, jax.device_get(state))
         if self.ckpt:
             self.ckpt.save(steps, jax.device_get(state))
             self.ckpt.wait()
+        if self.ckpt_best:
+            self.ckpt_best.wait()
         return state
+
+    # -------------------------------------------------- best-PSNR retention --
+    def _load_best_psnr(self) -> float:
+        return load_best_psnr(self.workdir)
+
+    def _maybe_save_best(self, step: int, state, ev: dict, best_psnr: float) -> float:
+        return maybe_save_best(self.ckpt_best, self.workdir, step, state, ev, best_psnr)
+
+
+def put_batch(batch_sharding, batch: np.ndarray):
+    """Host batch -> sharded device array.
+
+    Multi-process: ``batch`` is this process's *local* shard; the global
+    array is assembled across hosts (global batch = local x processes).
+    Single-process: plain device_put with the data sharding.
+    """
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(batch_sharding, batch)
+    return jax.device_put(batch, batch_sharding)
+
+
+def load_best_psnr(workdir: Path | None) -> float:
+    """Best eval PSNR recorded so far in <workdir>/best/best.json."""
+    if workdir and (Path(workdir) / "best" / "best.json").exists():
+        import json
+
+        return json.loads(
+            (Path(workdir) / "best" / "best.json").read_text()
+        ).get("psnr", float("-inf"))
+    return float("-inf")
+
+
+def maybe_save_best(
+    ckpt_best: CheckpointManager | None, workdir, step: int, state, ev: dict,
+    best_psnr: float,
+) -> float:
+    """Save ``state`` under <workdir>/best iff its eval PSNR is a new high."""
+    if ckpt_best is None or ev.get("psnr", float("-inf")) <= best_psnr:
+        return best_psnr
+    import json
+
+    ckpt_best.save(step, jax.device_get(state))
+    (Path(workdir) / "best" / "best.json").write_text(json.dumps({"step": step, **ev}))
+    return ev["psnr"]

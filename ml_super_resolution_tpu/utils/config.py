@@ -48,6 +48,10 @@ class DataConfig:
     prefetch: int = 2
     num_workers: int = 4
     seed: int = 0
+    # Deterministic host pipeline (SURVEY §5.2): single producer thread with
+    # a seeded permutation stream — identical runs produce identical batch
+    # sequences (and therefore identical metrics), at reduced ingest rate.
+    deterministic: bool = False
 
 
 @dataclass(frozen=True)
@@ -64,6 +68,10 @@ class TrainConfig:
     ema_decay: float = 0.0  # 0 disables params EMA
     # bf16 compute for conv stacks; params/optimizer state stay f32.
     bf16: bool = False
+    # K3: route the in-step RGB->Y + bicubic-degrade stage through the fused
+    # Pallas kernel (kernels/preprocess.py) instead of the XLA-fused ops
+    # path.  Y-channel single-scale models only; measured delta in RESULTS.md.
+    pallas_preprocess: bool = False
     eval_every: int = 1000
     log_every: int = 100
     ckpt_every: int = 1000

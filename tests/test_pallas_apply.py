@@ -1,0 +1,87 @@
+"""--pallas inference routing parity: K1/K2 forwards == flax model.apply.
+
+CPU runs the kernels in interpreter mode (exact f32 math), so parity here is
+tight; on-device validation numbers live in RESULTS.md.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ml_super_resolution_tpu.kernels.apply import (
+    pallas_apply_fn,
+    srresnet_pallas_forward,
+    vdsr_pallas_forward,
+)
+from ml_super_resolution_tpu.models import build_model
+from ml_super_resolution_tpu.utils.config import ModelConfig
+
+
+def _init(name, scale, channels, h=20, w=28, overrides=None):
+    m = build_model(
+        ModelConfig(name=name, scale=scale, channels=channels,
+                    overrides=overrides or {})
+    )
+    x = jnp.asarray(
+        np.random.default_rng(0).random((2, h, w, channels)), jnp.float32
+    )
+    v = m.init(jax.random.key(1), x[:1], train=False)
+    return m, v, x
+
+
+def test_vdsr_pallas_forward_matches_flax():
+    m, v, x = _init("vdsr", 4, 1, overrides={"depth": 6})
+    ref = m.apply(v, x, train=False)
+    out = vdsr_pallas_forward(v["params"], x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.parametrize("scale", [2, 3, 4])
+def test_srresnet_pallas_forward_matches_flax(scale):
+    m, v, x = _init("srresnet", scale, 3, h=12, w=16,
+                    overrides={"num_blocks": 2})
+    ref = m.apply(v, x, train=False)
+    out = srresnet_pallas_forward(
+        v["params"], v.get("batch_stats", {}), x, scale
+    )
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_srresnet_no_bn_variant():
+    m, v, x = _init("srresnet", 2, 3, h=10, w=10,
+                    overrides={"num_blocks": 2, "use_bn": False})
+    ref = m.apply(v, x, train=False)
+    out = srresnet_pallas_forward(v["params"], {}, x, 2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_pallas_apply_fn_routing():
+    m, v, x = _init("vdsr", 2, 1, overrides={"depth": 4})
+    fn = pallas_apply_fn("vdsr", v, 2)
+    assert fn is not None
+    np.testing.assert_allclose(
+        np.asarray(fn(x)), np.asarray(m.apply(v, x, train=False)), atol=2e-5
+    )
+    assert pallas_apply_fn("srcnn", v, 2) is None  # no fused path -> flax
+
+
+def test_upscale_frames_pallas_vdsr_matches_default():
+    """The product surface: --pallas output == default output (uint8 exact
+    modulo rounding at the quantization boundary)."""
+    from ml_super_resolution_tpu.infer import upscale_frames
+
+    m, v, _ = _init("vdsr", 2, 1, overrides={"depth": 4})
+    frames = (np.random.default_rng(3).random((1, 18, 22, 3)) * 255).astype(
+        np.uint8
+    )
+    a = np.asarray(
+        upscale_frames(m, v, jnp.asarray(frames), "vdsr", 2, use_pallas=False)
+    )
+    b = np.asarray(
+        upscale_frames(m, v, jnp.asarray(frames), "vdsr", 2, use_pallas=True)
+    )
+    # identical math up to f32 association; allow 1 uint8 step at boundaries
+    assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
+    assert (a != b).mean() < 0.01
