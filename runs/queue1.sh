@@ -10,8 +10,8 @@ cd /root/repo
 echo "=== srcnn x2 ==="
 python -m ml_super_resolution_tpu.cli train --model srcnn --scale 2 \
   --steps 12000 --lr-decay-steps 5000 --lr-decay-rate 0.3 \
-  --eval-every 1000 --ckpt-every 3000 --no-resume \
-  --workdir runs/r2_srcnn_x2 > runs/r2_srcnn_x2.log 2>&1
+  --eval-every 1000 --ckpt-every 3000 \
+  --workdir runs/r2_srcnn_x2 >> runs/r2_srcnn_x2.log 2>&1
 tail -2 runs/r2_srcnn_x2.log
 
 echo "=== espcn x3 ==="
