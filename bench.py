@@ -107,46 +107,23 @@ def main():
         "vs_baseline": round(mps / anchor, 2),
     }
 
-    # secondary rows (never let one kill the headline)
+    # secondary rows (never let one kill the headline).  bf16 rows exist so
+    # every fused kernel is compared against the *best* XLA configuration.
     secondaries = [
         ("espcn-bf16", dict(name="espcn", scale=4, out_hw=(1080, 1920), batch=8,
                             channels=1, overrides={"dtype": "bf16"})),
         ("srresnet", dict(name="srresnet", scale=4, out_hw=(1080, 1920), batch=1,
                           channels=3)),
+        ("srresnet-bf16", dict(name="srresnet", scale=4, out_hw=(1080, 1920),
+                               batch=1, channels=3, overrides={"dtype": "bf16"})),
         ("vdsr", dict(name="vdsr", scale=4, out_hw=(1080, 1920), batch=1,
                       channels=1)),
+        ("vdsr-bf16", dict(name="vdsr", scale=4, out_hw=(1080, 1920), batch=1,
+                           channels=1, overrides={"dtype": "bf16"})),
+        ("srcnn", dict(name="srcnn", scale=4, out_hw=(1080, 1920), batch=1,
+                       channels=1)),
     ]
-    # fused Pallas ESPCN (kernels/espcn_fused.py)
-    try:
-        import jax
-        import jax.numpy as jnp
-
-        from ml_super_resolution_tpu.kernels.espcn_fused import (
-            espcn_fused_forward,
-            extract_espcn_weights,
-        )
-        from ml_super_resolution_tpu.models import build_model
-        from ml_super_resolution_tpu.utils.config import ModelConfig
-
-        m = build_model(ModelConfig(name="espcn", scale=4, channels=1))
-        x = jnp.asarray(
-            np.random.default_rng(0).random((8, 270, 480, 1)), dtype=jnp.float32
-        )
-        v = m.init(jax.random.key(0), x[:1], train=False)
-        wts = extract_espcn_weights(v["params"])
-
-        def fwd_fused(w, inp):
-            return espcn_fused_forward(w, inp, 4)
-
-        dtf = _iter_time(fwd_fused, wts, x, iters=10)
-        print(
-            f"# espcn-pallas-fused x4 -> 1080p: {8*1080*1920/1e6/dtf:.1f} MP/s "
-            f"({dtf*1e3:.2f} ms)",
-            file=sys.stderr,
-        )
-    except Exception as e:
-        print(f"# espcn-pallas-fused bench failed: {e}", file=sys.stderr)
-
+    bench_fused_espcn()
     for label, kw in secondaries:
         try:
             ov = kw.pop("overrides", None)
@@ -162,8 +139,154 @@ def main():
                   file=sys.stderr)
         except Exception as e:
             print(f"# {label} bench failed: {e}", file=sys.stderr)
+    bench_vdsr_pallas_head()
+    bench_host_ingest()
+    bench_virtual_mesh_scaling()
 
     print(json.dumps(result))
+
+
+def bench_fused_espcn():
+    """Fused Pallas ESPCN rows: v1 (f32) and v2 (f32 + bf16 operands)."""
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        from ml_super_resolution_tpu.kernels.espcn_fused import (
+            espcn_fused_forward,
+            extract_espcn_weights,
+        )
+        from ml_super_resolution_tpu.kernels.espcn_fused2 import (
+            espcn_fused2_forward,
+        )
+        from ml_super_resolution_tpu.models import build_model
+        from ml_super_resolution_tpu.utils.config import ModelConfig
+
+        m = build_model(ModelConfig(name="espcn", scale=4, channels=1))
+        x = jnp.asarray(
+            np.random.default_rng(0).random((8, 270, 480, 1)), dtype=jnp.float32
+        )
+        v = m.init(jax.random.key(0), x[:1], train=False)
+        wts = extract_espcn_weights(v["params"])
+        mp = 8 * 1080 * 1920 / 1e6
+        rows = [
+            ("espcn-pallas-v1", lambda w, inp: espcn_fused_forward(w, inp, 4)),
+            ("espcn-pallas-v2", lambda w, inp: espcn_fused2_forward(
+                w, inp, 4, bf16=False)),
+            ("espcn-pallas-v2-bf16", lambda w, inp: espcn_fused2_forward(
+                w, inp, 4, bf16=True)),
+        ]
+        for label, fwd in rows:
+            try:
+                dtf = _iter_time(fwd, wts, x, iters=10)
+                print(f"# {label} x4 -> 1080p: {mp/dtf:.1f} MP/s "
+                      f"({dtf*1e3:.2f} ms)", file=sys.stderr)
+            except Exception as e:
+                print(f"# {label} bench failed: {e}", file=sys.stderr)
+    except Exception as e:
+        print(f"# espcn-pallas bench failed: {e}", file=sys.stderr)
+
+
+def bench_vdsr_pallas_head():
+    """VDSR with the K2 fused residual head (sr upscale --pallas route)."""
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        from ml_super_resolution_tpu.kernels.apply import vdsr_pallas_forward
+        from ml_super_resolution_tpu.models import build_model
+        from ml_super_resolution_tpu.utils.config import ModelConfig
+
+        m = build_model(ModelConfig(name="vdsr", scale=4, channels=1))
+        x = jnp.asarray(
+            np.random.default_rng(0).random((1, 1080, 1920, 1)), jnp.float32
+        )
+        v = m.init(jax.random.key(0), x[:1], train=False)
+
+        def fwd(params, inp):
+            return vdsr_pallas_forward(params, inp)
+
+        dtf = _iter_time(fwd, v["params"], x, iters=5)
+        print(f"# vdsr-pallas-head x4 -> 1080p: {1080*1920/1e6/dtf:.1f} MP/s "
+              f"({dtf*1e3:.2f} ms)", file=sys.stderr)
+    except Exception as e:
+        print(f"# vdsr-pallas-head bench failed: {e}", file=sys.stderr)
+
+
+def bench_host_ingest():
+    """TileLoader host throughput: can the host feed the chip?  (HR uint8
+    megapixels/sec shipped, decode-once/crop-many over the synthetic set.)"""
+    try:
+        import time as _t
+
+        from ml_super_resolution_tpu.data.datasets import SyntheticImages
+        from ml_super_resolution_tpu.data.loader import TileLoader
+
+        loader = TileLoader(SyntheticImages(n=64, size=256), batch_size=32,
+                            tile_size=192, num_workers=4)
+        with loader:
+            it = iter(loader)
+            next(it)  # warm: first decodes fill the cache
+            t0 = _t.perf_counter()
+            nb = 0
+            while _t.perf_counter() - t0 < 3.0:
+                next(it)
+                nb += 1
+            dt = _t.perf_counter() - t0
+        mps = nb * 32 * 192 * 192 / dt / 1e6
+        print(f"# host-ingest (TileLoader): {mps:.0f} MP/s of HR tiles "
+              f"({nb*32/dt:.0f} tiles/s)", file=sys.stderr)
+    except Exception as e:
+        print(f"# host-ingest bench failed: {e}", file=sys.stderr)
+
+
+def bench_virtual_mesh_scaling():
+    """DP + spatial-tiling scaling rows on the 8-virtual-device CPU mesh.
+
+    Runs in a subprocess (JAX_PLATFORMS=cpu) so it never touches the chip.
+    On this 1-core host the virtual devices timeshare, so the row proves the
+    sharded programs compile/execute and reports per-shard shapes — wall
+    clock is NOT expected to improve (no parallel silicon underneath).
+    """
+    import subprocess
+
+    code = r"""
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+import time, json
+import numpy as np
+import jax, jax.numpy as jnp
+jax.config.update("jax_platforms", "cpu")
+from ml_super_resolution_tpu.infer import upscale_frames
+from ml_super_resolution_tpu.models import build_model
+from ml_super_resolution_tpu.parallel.mesh import make_mesh
+from ml_super_resolution_tpu.utils.config import ModelConfig
+
+m = build_model(ModelConfig(name="espcn", scale=2, channels=1))
+x = jnp.asarray(np.random.default_rng(0).random((1, 64, 64, 1)), jnp.float32)
+v = m.init(jax.random.key(0), x, train=False)
+frames = (np.random.default_rng(1).random((1, 64, 64, 3)) * 255).astype(np.uint8)
+rows = {}
+for tiles in (1, 4, 8):
+    mesh = make_mesh(dp=1, sp=tiles) if tiles > 1 else None
+    t0 = time.perf_counter()
+    out = np.asarray(upscale_frames(m, v, jnp.asarray(frames), "espcn", 2, mesh=mesh))
+    rows[f"sp{tiles}"] = {"compile_plus_run_s": round(time.perf_counter() - t0, 2),
+                          "shard_rows": 64 // tiles}
+print(json.dumps(rows))
+"""
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=900, cwd="/root/repo",
+            env={**__import__("os").environ, "PYTHONPATH": "/root/repo"},
+        )
+        line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else "{}"
+        print(f"# virtual-mesh spatial tiling (8 CPU devices, functional): "
+              f"{line}", file=sys.stderr)
+    except Exception as e:
+        print(f"# virtual-mesh scaling bench failed: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -311,7 +311,8 @@ def cmd_serve(args) -> int:
         "scale": cfg.model.scale, "step": step,
     }), flush=True)
     serve(trainer, state, cfg, host=args.host, port=args.port,
-          use_pallas=args.pallas)
+          use_pallas=args.pallas, max_batch=args.max_batch,
+          window_ms=args.window_ms)
     return 0
 
 
@@ -385,6 +386,10 @@ def main(argv=None) -> int:
     p_serve.add_argument("--host", default="127.0.0.1")
     p_serve.add_argument("--port", type=int, default=8600)
     p_serve.add_argument("--pallas", action="store_true")
+    p_serve.add_argument("--max-batch", type=int, default=8,
+                         help="micro-batch cap for coalesced requests")
+    p_serve.add_argument("--window-ms", type=float, default=4.0,
+                         help="micro-batch collection window")
     p_serve.set_defaults(fn=cmd_serve)
 
     p_feat = sub.add_parser(

@@ -1,24 +1,32 @@
-"""Minimal production-style serving loop: HTTP upscaling endpoint.
+"""Production-style serving loop: HTTP upscaling endpoint with micro-batching.
 
 ``sr serve --workdir runs/x --port 8600`` exposes
 
     POST /upscale   body: PNG/JPEG bytes -> body: PNG bytes (upscaled)
-    GET  /healthz   -> {"status": "ok", "model": ..., "scale": ...}
+    GET  /healthz   -> {"status": "ok", "model": ..., "scale": ..., stats}
 
 Design notes (TPU serving shape):
-* the model/variables are loaded once; each request is one jitted forward —
-  jax caches the compiled program per input shape, so steady-state traffic
-  with common sizes pays dispatch only;
-* decode uses the native C++ PNG path when possible (data/native.py);
-* stdlib ``http.server`` with a threaded server — device work is serialized
-  through a lock (one TPU program at a time is optimal here anyway).
+* the model/variables are loaded once; jax caches the compiled program per
+  input shape, so steady-state traffic with common sizes pays dispatch only;
+* **micro-batching**: one device-worker thread drains a request queue,
+  coalescing same-shape requests that arrive within ``window_ms`` (default
+  4 ms) up to ``max_batch`` into a single batched forward — concurrent
+  clients share one XLA dispatch instead of serializing N of them.  The
+  batch dimension is padded to a small set of bucket sizes (1/2/4/8) so at
+  most 4 programs compile per image shape;
+* PNG decode (native C++ path when possible) and encode run on the request
+  threads, so the device worker does device work only;
+* stdlib ``http.server`` with a threaded server — no extra dependencies.
 """
 
 from __future__ import annotations
 
 import io
 import json
+import queue
 import threading
+import time
+from collections import deque
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
@@ -26,8 +34,87 @@ import numpy as np
 __all__ = ["serve"]
 
 
+def _bucket(n: int, max_batch: int) -> int:
+    b = 1
+    while b < n and b < max_batch:
+        b *= 2
+    return b
+
+
+class _Batcher:
+    """Coalesces same-shape requests into one batched device call."""
+
+    def __init__(self, fn, max_batch: int = 8, window_ms: float = 4.0):
+        self._fn = fn  # (N, h, w, 3) uint8 -> (N, H, W, 3) uint8 numpy
+        self._q: queue.Queue = queue.Queue()
+        self._pending: deque = deque()  # items deferred by a shape mismatch
+        self.max_batch = max(1, max_batch)
+        self.window = window_ms / 1000.0
+        self.served = 0
+        self.batches = 0
+        threading.Thread(target=self._run, daemon=True).start()
+
+    def submit(self, img: np.ndarray) -> np.ndarray:
+        ev = threading.Event()
+        slot: dict = {}
+        self._q.put((img, ev, slot))
+        ev.wait()
+        if "err" in slot:
+            raise slot["err"]
+        return slot["out"]
+
+    def _next_item(self, timeout):
+        if self._pending:
+            return self._pending.popleft()
+        return self._q.get(timeout=timeout)
+
+    def _run(self):
+        while True:
+            try:
+                first = self._next_item(timeout=None)
+            except Exception:
+                continue
+            batch = [first]
+            shape = first[0].shape
+            deadline = time.monotonic() + self.window
+            stash = []
+            while len(batch) < self.max_batch:
+                t = deadline - time.monotonic()
+                if t <= 0 and not self._pending:
+                    break
+                try:
+                    item = self._next_item(timeout=max(t, 0.0))
+                except queue.Empty:
+                    break
+                if item[0].shape == shape:
+                    batch.append(item)
+                else:
+                    stash.append(item)  # different shape: next batch
+            self._pending.extend(stash)
+            self._process(batch)
+
+    def _process(self, batch):
+        imgs = np.stack([b[0] for b in batch])
+        n = len(batch)
+        nb = _bucket(n, self.max_batch)
+        if nb != n:  # pad to the bucket so shapes (and programs) stay few
+            imgs = np.concatenate([imgs, np.repeat(imgs[-1:], nb - n, axis=0)])
+        try:
+            out = self._fn(imgs)
+            for i, (_, ev, slot) in enumerate(batch):
+                slot["out"] = np.asarray(out[i])
+                ev.set()
+            self.served += n
+            self.batches += 1
+        except Exception as e:  # propagate to every waiter, keep serving
+            for _, ev, slot in batch:
+                slot["err"] = e
+                ev.set()
+
+
 def serve(trainer, state, cfg, host: str = "127.0.0.1", port: int = 8600,
-          use_pallas: bool = False, ready_event=None):
+          use_pallas: bool = False, ready_event=None,
+          max_batch: int = 8, window_ms: float = 4.0):
     """Blocking serve loop; ``ready_event`` (threading.Event) set when bound."""
     from PIL import Image
 
@@ -37,7 +124,16 @@ def serve(trainer, state, cfg, host: str = "127.0.0.1", port: int = 8600,
     if state.batch_stats:
         variables["batch_stats"] = state.batch_stats
     model_name, scale = cfg.model.name, cfg.model.scale
-    device_lock = threading.Lock()
+
+    def device_fn(imgs: np.ndarray) -> np.ndarray:
+        import jax.numpy as jnp
+
+        return np.asarray(upscale_frames(
+            trainer.model, variables, jnp.asarray(imgs), model_name, scale,
+            use_pallas=use_pallas,
+        ))
+
+    batcher = _Batcher(device_fn, max_batch=max_batch, window_ms=window_ms)
 
     def decode(body: bytes) -> np.ndarray:
         try:
@@ -63,7 +159,13 @@ def serve(trainer, state, cfg, host: str = "127.0.0.1", port: int = 8600,
 
         def do_GET(self):
             if self.path == "/healthz":
-                self._json(200, {"status": "ok", "model": model_name, "scale": scale})
+                self._json(200, {
+                    "status": "ok", "model": model_name, "scale": scale,
+                    "served": batcher.served, "batches": batcher.batches,
+                    "mean_batch": round(
+                        batcher.served / max(1, batcher.batches), 2
+                    ),
+                })
             else:
                 self._json(404, {"error": "not found"})
 
@@ -77,15 +179,11 @@ def serve(trainer, state, cfg, host: str = "127.0.0.1", port: int = 8600,
             except Exception as e:
                 self._json(400, {"error": f"bad image: {e}"})
                 return
-            import jax.numpy as jnp
-
-            with device_lock:
-                sr = np.asarray(
-                    upscale_frames(
-                        trainer.model, variables, jnp.asarray(img)[None],
-                        model_name, scale, use_pallas=use_pallas,
-                    )[0]
-                )
+            try:
+                sr = batcher.submit(img)
+            except Exception as e:
+                self._json(500, {"error": f"device: {e}"})
+                return
             buf = io.BytesIO()
             Image.fromarray(sr).save(buf, format="PNG")
             out = buf.getvalue()

@@ -39,7 +39,8 @@ def test_serve_upscales_over_http(tmp_path, capsys):
 
     with urllib.request.urlopen("http://127.0.0.1:8612/healthz", timeout=30) as r:
         health = json.loads(r.read())
-    assert health == {"status": "ok", "model": "espcn", "scale": 2}
+    assert health["status"] == "ok"
+    assert (health["model"], health["scale"]) == ("espcn", 2)
 
     rng = np.random.default_rng(0)
     img = (rng.random((24, 32, 3)) * 255).astype(np.uint8)
@@ -51,6 +52,34 @@ def test_serve_upscales_over_http(tmp_path, capsys):
     with urllib.request.urlopen(req, timeout=120) as r:
         sr = np.asarray(Image.open(io.BytesIO(r.read())))
     assert sr.shape == (48, 64, 3)
+
+    # concurrent same-shape requests ride the micro-batcher; each client
+    # still gets *its own* upscaled image back
+    imgs = [(rng.random((24, 32, 3)) * 255).astype(np.uint8) for _ in range(4)]
+    outs: dict[int, np.ndarray] = {}
+
+    def post(i):
+        b = io.BytesIO()
+        Image.fromarray(imgs[i]).save(b, format="PNG")
+        rq = urllib.request.Request(
+            "http://127.0.0.1:8612/upscale", data=b.getvalue(), method="POST"
+        )
+        with urllib.request.urlopen(rq, timeout=120) as resp:
+            outs[i] = np.asarray(Image.open(io.BytesIO(resp.read())))
+
+    ths = [threading.Thread(target=post, args=(i,)) for i in range(4)]
+    for t in ths:
+        t.start()
+    for t in ths:
+        t.join(timeout=300)
+    assert set(outs) == {0, 1, 2, 3}
+    assert all(o.shape == (48, 64, 3) for o in outs.values())
+    # distinct inputs -> distinct outputs (no result cross-wiring)
+    assert not np.array_equal(outs[0], outs[1])
+    with urllib.request.urlopen("http://127.0.0.1:8612/healthz", timeout=30) as r:
+        health = json.loads(r.read())
+    assert health["served"] >= 5
+    assert health["batches"] >= 1
 
     # bad input -> clean 400
     req = urllib.request.Request(

@@ -1,0 +1,225 @@
+"""Chip-window probes: measured facts needed for kernel design decisions.
+
+Run ONLY when no other TPU process is active (one chip claim at a time):
+
+    PYTHONPATH=/root/repo:/root/.axon_site timeout 560 python tools/chip_probes.py [section ...]
+
+Sections (default: all):
+  vmem     - max Pallas scratch the Mosaic compiler accepts (AOT, no exec)
+  mosaic   - bf16 lane-roll + 16-aligned bf16 slice->matmul support (AOT)
+  fused2   - espcn_fused2 on-device parity vs flax + both operand modes
+  kapply   - K1/K2-routed vdsr/srresnet forwards on-device parity
+  xlabf16  - vdsr/srresnet bf16-XLA timings (the bars fused kernels must beat)
+
+Every probe is wrapped so one failure never blocks the rest; a kernel FAULT
+can wedge the chip ~10-15 min (poll with a tiny jnp.sum under timeout 50
+before the next run).
+"""
+
+from __future__ import annotations
+
+import functools
+import sys
+import time
+import traceback
+
+import numpy as np
+
+
+def section(name):
+    def deco(fn):
+        @functools.wraps(fn)
+        def run():
+            print(f"\n=== {name} ===", flush=True)
+            t0 = time.perf_counter()
+            try:
+                fn()
+            except Exception as e:
+                print(f"[{name}] FAILED: {type(e).__name__}: {e}", flush=True)
+                traceback.print_exc()
+            print(f"[{name}] {time.perf_counter() - t0:.1f}s", flush=True)
+
+        run._section = name
+        return run
+
+    return deco
+
+
+@section("vmem")
+def probe_vmem():
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def make(mb):
+        rows = mb * 1024 * 1024 // (2048 * 4)
+
+        def kernel(x_ref, o_ref, scratch):
+            scratch[0:8, :] = x_ref[:]
+            o_ref[:] = scratch[0:8, :]
+
+        @jax.jit
+        def f(x):
+            return pl.pallas_call(
+                kernel,
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((8, 2048), jnp.float32),
+                scratch_shapes=[pltpu.VMEM((rows, 2048), jnp.float32)],
+            )(x)
+
+        x = jnp.zeros((8, 2048), jnp.float32)
+        f.lower(x).compile()  # AOT: no execution
+        return True
+
+    ok = 0
+    for mb in (8, 16, 24, 32, 48, 64, 96, 120, 128):
+        try:
+            make(mb)
+            ok = mb
+            print(f"  scratch {mb} MB: compile OK", flush=True)
+        except Exception as e:
+            print(f"  scratch {mb} MB: REJECTED ({str(e).splitlines()[0][:120]})",
+                  flush=True)
+            break
+    print(f"  => max accepted scratch ~{ok} MB")
+
+
+@section("mosaic")
+def probe_mosaic():
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def try_compile(label, kernel, scratch_shapes):
+        @jax.jit
+        def f(x):
+            return pl.pallas_call(
+                kernel,
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((8, 256), jnp.float32),
+                scratch_shapes=scratch_shapes,
+            )(x)
+
+        x = jnp.zeros((8, 256), jnp.float32)
+        try:
+            f.lower(x).compile()
+            print(f"  {label}: OK", flush=True)
+        except Exception as e:
+            print(f"  {label}: NO ({str(e).splitlines()[0][:140]})", flush=True)
+
+    def k_bf16_roll(x_ref, o_ref, sb):
+        v = pltpu.roll(sb[:, :], 255, axis=1)  # lane roll of bf16
+        o_ref[:] = v[0:8, :].astype(jnp.float32)
+
+    try_compile("bf16 lane roll", k_bf16_roll,
+                [pltpu.VMEM((32, 256), jnp.bfloat16)])
+
+    def k_bf16_slice_mm(x_ref, o_ref, sb, w):
+        sl = sb[16:80, :]  # 16-aligned bf16 slice
+        o_ref[:] = jnp.dot(w[0:8, :], sl, preferred_element_type=jnp.float32)
+
+    try_compile("bf16 16-aligned slice -> matmul", k_bf16_slice_mm,
+                [pltpu.VMEM((96, 256), jnp.bfloat16),
+                 pltpu.VMEM((8, 64), jnp.bfloat16)])
+
+    def k_f32_slice_concat(x_ref, o_ref, sf):
+        a = sf[8:24, :]
+        b = sf[32:48, :]
+        cat = jnp.concatenate([a, b], axis=0)  # 8-aligned slice concat
+        o_ref[:] = cat[0:8, :]
+
+    try_compile("f32 8-aligned slice concat", k_f32_slice_concat,
+                [pltpu.VMEM((64, 256), jnp.float32)])
+
+
+@section("fused2")
+def probe_fused2():
+    import jax
+    import jax.numpy as jnp
+
+    from ml_super_resolution_tpu.kernels.espcn_fused2 import (
+        espcn_fused2_forward,
+        extract_espcn_weights,
+    )
+    from ml_super_resolution_tpu.models import build_model
+    from ml_super_resolution_tpu.utils.config import ModelConfig
+
+    m = build_model(ModelConfig(name="espcn", scale=4, channels=1))
+    x = jnp.asarray(np.random.default_rng(0).random((2, 40, 56, 1)), jnp.float32)
+    v = m.init(jax.random.key(0), x[:1], train=False)
+    ref = np.asarray(m.apply(v, x, train=False))
+    wts = extract_espcn_weights(v["params"])
+    for bf16 in (False, True):
+        out = np.asarray(espcn_fused2_forward(wts, x, 4, bf16=bf16))
+        err = float(np.abs(out - ref).max())
+        print(f"  fused2 bf16={bf16}: on-device max err {err:.2e}", flush=True)
+
+
+@section("kapply")
+def probe_kapply():
+    import jax
+    import jax.numpy as jnp
+
+    from ml_super_resolution_tpu.kernels.apply import (
+        srresnet_pallas_forward,
+        vdsr_pallas_forward,
+    )
+    from ml_super_resolution_tpu.models import build_model
+    from ml_super_resolution_tpu.utils.config import ModelConfig
+
+    m = build_model(ModelConfig(name="vdsr", scale=2, channels=1,
+                                overrides={"depth": 6}))
+    x = jnp.asarray(np.random.default_rng(0).random((1, 40, 48, 1)), jnp.float32)
+    v = m.init(jax.random.key(0), x, train=False)
+    ref = np.asarray(m.apply(v, x, train=False))
+    out = np.asarray(vdsr_pallas_forward(v["params"], x))
+    print(f"  vdsr K2 head: on-device max err {np.abs(out-ref).max():.2e}",
+          flush=True)
+
+    m2 = build_model(ModelConfig(name="srresnet", scale=4, channels=3,
+                                 overrides={"num_blocks": 2}))
+    x2 = jnp.asarray(np.random.default_rng(1).random((1, 24, 24, 3)), jnp.float32)
+    v2 = m2.init(jax.random.key(1), x2, train=False)
+    ref2 = np.asarray(m2.apply(v2, x2, train=False))
+    out2 = np.asarray(srresnet_pallas_forward(
+        v2["params"], v2.get("batch_stats", {}), x2, 4))
+    print(f"  srresnet K1 stages: on-device max err {np.abs(out2-ref2).max():.2e}",
+          flush=True)
+
+
+@section("xlabf16")
+def probe_xla_bf16():
+    import jax.numpy as jnp
+
+    import bench
+
+    for label, kw in [
+        ("vdsr-f32", dict(name="vdsr", scale=4, out_hw=(1080, 1920), batch=1,
+                          channels=1)),
+        ("vdsr-bf16", dict(name="vdsr", scale=4, out_hw=(1080, 1920), batch=1,
+                           channels=1, overrides={"dtype": jnp.bfloat16})),
+        ("srresnet-bf16", dict(name="srresnet", scale=4, out_hw=(1080, 1920),
+                               batch=1, channels=3,
+                               overrides={"dtype": jnp.bfloat16})),
+        ("espcn-bf16", dict(name="espcn", scale=4, out_hw=(1080, 1920), batch=8,
+                            channels=1, overrides={"dtype": jnp.bfloat16})),
+    ]:
+        ov = kw.pop("overrides", None)
+        mps, dt = bench.bench_model_mps(
+            kw["name"], kw["scale"], kw["out_hw"], kw["batch"], kw["channels"],
+            overrides=ov, iters=8,
+        )
+        print(f"  {label}: {mps:.1f} MP/s ({dt*1e3:.2f} ms)", flush=True)
+
+
+ALL = [probe_vmem, probe_mosaic, probe_fused2, probe_kapply, probe_xla_bf16]
+
+if __name__ == "__main__":
+    want = set(sys.argv[1:])
+    for p in ALL:
+        if not want or p._section in want:
+            p()
