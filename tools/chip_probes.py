@@ -205,6 +205,8 @@ def probe_xla_bf16():
         ("srresnet-bf16", dict(name="srresnet", scale=4, out_hw=(1080, 1920),
                                batch=1, channels=3,
                                overrides={"dtype": jnp.bfloat16})),
+        ("vdsr-bf16-b4", dict(name="vdsr", scale=4, out_hw=(1080, 1920), batch=4,
+                              channels=1, overrides={"dtype": jnp.bfloat16})),
         ("espcn-bf16", dict(name="espcn", scale=4, out_hw=(1080, 1920), batch=8,
                             channels=1, overrides={"dtype": jnp.bfloat16})),
     ]:
