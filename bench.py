@@ -139,6 +139,7 @@ def main():
                   file=sys.stderr)
         except Exception as e:
             print(f"# {label} bench failed: {e}", file=sys.stderr)
+    bench_vdsr_fused()
     bench_vdsr_pallas_head()
     bench_host_ingest()
     bench_virtual_mesh_scaling()
@@ -185,6 +186,32 @@ def bench_fused_espcn():
                 print(f"# {label} bench failed: {e}", file=sys.stderr)
     except Exception as e:
         print(f"# espcn-pallas bench failed: {e}", file=sys.stderr)
+
+
+def bench_vdsr_fused():
+    """Whole-net fused VDSR (segments of layers VMEM-resident, bf16 MXU)."""
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        from ml_super_resolution_tpu.kernels.vdsr_fused import vdsr_fused_forward
+        from ml_super_resolution_tpu.models import build_model
+        from ml_super_resolution_tpu.utils.config import ModelConfig
+
+        m = build_model(ModelConfig(name="vdsr", scale=4, channels=1))
+        x = jnp.asarray(
+            np.random.default_rng(0).random((1, 1080, 1920, 1)), jnp.float32
+        )
+        v = m.init(jax.random.key(0), x[:1], train=False)
+
+        def fwd(params, inp):
+            return vdsr_fused_forward(params, inp)
+
+        dtf = _iter_time(fwd, v["params"], x, iters=4)
+        print(f"# vdsr-fused-bf16 x4 -> 1080p: {1080*1920/1e6/dtf:.1f} MP/s "
+              f"({dtf*1e3:.2f} ms)", file=sys.stderr)
+    except Exception as e:
+        print(f"# vdsr-fused bench failed: {e}", file=sys.stderr)
 
 
 def bench_vdsr_pallas_head():

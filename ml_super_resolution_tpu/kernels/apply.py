@@ -98,7 +98,18 @@ def srresnet_pallas_forward(params, batch_stats, x, scale: int):
 def pallas_apply_fn(model_name: str, variables, scale: int):
     """The ``--pallas`` routing used by infer.py; None = no fused path."""
     if model_name == "vdsr":
-        return lambda inp: vdsr_pallas_forward(variables["params"], inp)
+        params = variables["params"]
+        if params["Conv_0"]["kernel"].shape[2] == 1:
+            # Y-protocol path: whole-net multi-layer fused kernel (bf16 MXU,
+            # activations VMEM-resident across layer runs) — see
+            # kernels/vdsr_fused.py.  Falls back to the K2 head fusion for
+            # multi-channel checkpoints below.
+            from ml_super_resolution_tpu.kernels.vdsr_fused import (
+                vdsr_fused_forward,
+            )
+
+            return lambda inp: vdsr_fused_forward(params, inp)
+        return lambda inp: vdsr_pallas_forward(params, inp)
     if model_name in ("srresnet", "srgan"):
         return lambda inp: srresnet_pallas_forward(
             variables["params"], variables.get("batch_stats", {}), inp, scale

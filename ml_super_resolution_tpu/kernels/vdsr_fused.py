@@ -1,0 +1,404 @@
+"""Fused multi-layer VDSR: segment-of-convs row-block kernels, bf16 MXU.
+
+VDSR (models/vdsr.py; arXiv:1511.04587) is a 20-deep chain of 3x3 convs at
+HR resolution — the heaviest per-pixel model in the zoo (~1.33 MFLOP/px).
+Run layer-by-layer, every intermediate activation (H x W x 64) makes an HBM
+round trip: ~0.5 GB per layer boundary at 1080p, ~10 GB per frame — the
+XLA path is HBM-bound long before the MXU saturates.  This kernel fuses
+*runs of layers* so activations stay VMEM-resident across layer boundaries:
+
+* **Segments**: the depth-D conv chain is split into segments of <=6 convs.
+  Each segment is one grid-free ``pallas_call`` sweeping the frame in row
+  blocks; only segment boundaries touch HBM (3 boundaries for depth 20
+  instead of 19).
+* **Row blocks with halo recompute**: a block of ``tile_h`` output rows
+  reads ``tile_h + 2*S`` input rows (S = convs in the segment) and computes
+  the full span at every layer; garbage creeps inward one row per layer and
+  is exactly absorbed by the halo.  Row/col masks re-zero out-of-image
+  positions after every conv, which reproduces SAME zero-padding at frame
+  edges and keeps lane-roll wraparound garbage confined to masked columns
+  (the espcn_fused2 argument).
+* **Row-group matmuls** (espcn_fused2 pattern): G output rows x 64 channels
+  form one MXU matmul of M = G*64 against a K = (G+2)*64 sublane-aligned
+  window of the activation buffer; per dx tap the f32 product is lane-rolled
+  into alignment (``out[j] = sum_d mm_d[j+d]``).  K carries (G+2)/3 x the
+  taps actually used — the zero-weight MACs are the price of full-occupancy
+  MXU shapes and no per-row VPU work.
+* **bf16 operands**: activations are stored bf16 (cast once per layer after
+  the mask), weights pre-cast; accumulation is f32 via
+  ``preferred_element_type``.  All lane rolls happen on f32 matmul outputs
+  (Mosaic on this path lacks bf16 sublane rolls; lane rolls of f32 are the
+  measured-safe pattern).
+
+Buffer layout is row-major ``(row * 64, Wp)`` so every group window is a
+64-sublane-aligned contiguous slice, and every DMA offset is a multiple of
+64 sublanes (the attach path faults on non-x8 DMA offsets).  The first conv
+(C=1 -> 64) reads a single-channel f32 slab with input-roll dx variants and
+a 16-row windowed weight matrix; the last conv (64 -> C=1) fuses the global
+residual add (bicubic skip) into its epilogue — one HBM write for the
+frame.  Segment boundaries (zero-pad + column shift) are XLA fusions.
+
+Golden-tested against the flax ``VDSR.apply`` in tests/test_vdsr_fused.py
+(interpret mode on CPU, exact to ~1e-5 with ``bf16=False``); wired to
+``sr upscale --pallas`` for vdsr via kernels/apply.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["vdsr_fused_forward", "extract_vdsr_weights"]
+
+_G1 = 8  # first-conv (1->64) row group
+_GL = 8  # last-conv (64->1) row group
+_MAX_SEG = 6  # convs per segment (VMEM- and halo-bounded)
+
+
+def extract_vdsr_weights(params: dict) -> list[tuple[jnp.ndarray, jnp.ndarray]]:
+    """Ordered [(kernel (3,3,ci,co), bias (co,)), ...] from the flax tree."""
+    depth = len(params)
+    return [
+        (params[f"Conv_{i}"]["kernel"], params[f"Conv_{i}"]["bias"])
+        for i in range(depth)
+    ]
+
+
+def _segment_sizes(depth: int) -> list[int]:
+    """Split `depth` convs into segments of at most _MAX_SEG."""
+    sizes = []
+    left = depth
+    while left > 0:
+        s = min(_MAX_SEG, left)
+        sizes.append(s)
+        left -= s
+    return sizes
+
+
+def _align(v: int, m: int) -> int:
+    return -(-v // m) * m
+
+
+# --------------------------------------------------------------------------
+# weight assembly (trace-time, tiny)
+# --------------------------------------------------------------------------
+
+
+def _first_weights(w, b, cdt):
+    """W1 (G1*F, 3*16): col d*16 + (k+dyi) <- w[dyi, d, 0, c]; row k*F + c."""
+    f = w.shape[-1]
+    w1 = jnp.zeros((_G1 * f, 3 * 16), jnp.float32)
+    for k in range(_G1):
+        for d in range(3):
+            w1 = jax.lax.dynamic_update_slice(
+                w1, w[:, d, 0, :].T.astype(jnp.float32), (k * f, d * 16 + k)
+            )
+    b1 = jnp.tile(b, _G1).reshape(_G1 * f, 1).astype(jnp.float32)
+    return w1.astype(cdt), b1
+
+
+def _mid_weights(w, b, g, cdt):
+    """Per dx: (G*F, (G+2)*F); col (k+dyi)*F + ci <- w[dyi, d, ci, c]."""
+    ci, f = w.shape[2], w.shape[3]
+    mats = []
+    for d in range(3):
+        m = jnp.zeros((g * f, (g + 2) * ci), jnp.float32)
+        blk = jnp.transpose(w[:, d], (2, 0, 1)).reshape(f, 3 * ci)
+        for k in range(g):
+            m = jax.lax.dynamic_update_slice(m, blk, (k * f, k * ci))
+        mats.append(m.astype(cdt))
+    bt = jnp.tile(b, g).reshape(g * f, 1).astype(jnp.float32)
+    return mats, bt
+
+
+def _last_weights(w, b, cdt):
+    """Per dx: (GL, (GL+2)*Ci); col (k+dyi)*Ci + ci <- w[dyi, d, ci, 0]."""
+    ci = w.shape[2]
+    mats = []
+    for d in range(3):
+        m = jnp.zeros((_GL, (_GL + 2) * ci), jnp.float32)
+        blk = w[:, d, :, 0].reshape(1, 3 * ci)
+        for k in range(_GL):
+            m = jax.lax.dynamic_update_slice(m, blk, (k, k * ci))
+        mats.append(m.astype(cdt))
+    bl = jnp.full((_GL, 1), b[0], jnp.float32)
+    return mats, bl
+
+
+# --------------------------------------------------------------------------
+# segment kernel
+# --------------------------------------------------------------------------
+
+
+def _seg_kernel(*refs, cfg):
+    (n, nb, tb, h, width, wp, feat, seg, has_first, has_last, g, spanp,
+     slabp, stride_in, stride_skip, cdt) = cfg
+    n_mid = seg - int(has_first) - int(has_last)
+
+    it = iter(refs)
+    in_ref = next(it)
+    skip_ref = next(it) if has_last else None
+    if has_first:
+        w1, b1 = next(it), next(it)
+    mids = [(next(it), next(it), next(it), next(it)) for _ in range(n_mid)]
+    if has_last:
+        wl = (next(it), next(it), next(it))
+        bl = next(it)
+    out_ref = next(it)
+    bufs = [next(it), next(it)]
+    slab = next(it) if has_first else None
+    if has_last:
+        skipv, outv = next(it), next(it)
+    sem_in, sem_out = next(it), next(it)
+    sem_skip = next(it) if has_last else None
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, wp), 1)
+
+    def col_ok(off):
+        return jnp.logical_and(col >= off, col < off + width)
+
+    def row_ok(base, gb, rows, chan):
+        m = jax.lax.broadcasted_iota(jnp.int32, (rows * chan, 1), 0)
+        t = base - seg + gb + m // chan
+        return jnp.logical_and(t >= 0, t < h)
+
+    def step(k, _):
+        ni = k // nb
+        hi = k % nb
+        base = hi * tb
+        li = 0  # convs consumed so far in this segment
+        cur = 0  # ping-pong index holding the segment's current activations
+
+        if has_first:
+            cp = pltpu.make_async_copy(
+                in_ref.at[pl.ds(ni * stride_in + base, slabp)],
+                slab.at[0:slabp], sem_in,
+            )
+            cp.start()
+            cp.wait()
+            sl_all = slab[:, :]
+            slab3 = [
+                sl_all if d == 0 else pltpu.roll(sl_all, wp - d, axis=1)
+                for d in range(3)
+            ]
+            okc = col_ok(seg - 1)
+            for gi in range(spanp // _G1):
+                panel = jnp.concatenate(
+                    [s3[_G1 * gi : _G1 * gi + 16, :] for s3 in slab3], axis=0
+                )  # (48, wp) f32, 8-aligned 16-row pieces
+                mm = jnp.dot(
+                    w1[:], panel.astype(cdt), preferred_element_type=jnp.float32
+                )  # (G1*feat, wp)
+                v = jax.nn.relu(mm + b1[:])
+                ok = jnp.logical_and(row_ok(base, _G1 * gi, _G1, feat), okc)
+                bufs[0][pl.ds((1 + _G1 * gi) * feat, _G1 * feat), :] = jnp.where(
+                    ok, v, 0.0
+                ).astype(cdt)
+            li, cur = 1, 0
+        else:
+            cp = pltpu.make_async_copy(
+                in_ref.at[pl.ds(ni * stride_in + (8 + base - seg) * feat,
+                                spanp * feat)],
+                bufs[0].at[pl.ds(feat, spanp * feat)], sem_in,
+            )
+            cp.start()
+            cp.wait()
+
+        for wd0, wd1, wd2, bt in mids:
+            wd = (wd0, wd1, wd2)
+            src, dst = bufs[cur], bufs[1 - cur]
+            okc = col_ok(seg - li - 1)
+            for gi in range(spanp // g):
+                gb = g * gi
+                sl = src[pl.ds(gb * feat, (g + 2) * feat), :]
+                acc = None
+                for d in range(3):
+                    mm = jnp.dot(
+                        wd[d][:], sl, preferred_element_type=jnp.float32
+                    )  # (g*feat, wp)
+                    if d:  # out[j] = sum_d mm_d[j + d]
+                        mm = pltpu.roll(mm, wp - d, axis=1)
+                    acc = mm if acc is None else acc + mm
+                v = jax.nn.relu(acc + bt[:])
+                ok = jnp.logical_and(row_ok(base, gb, g, feat), okc)
+                dst[pl.ds((1 + gb) * feat, g * feat), :] = jnp.where(
+                    ok, v, 0.0
+                ).astype(cdt)
+            li += 1
+            cur = 1 - cur
+
+        if has_last:
+            cs = pltpu.make_async_copy(
+                skip_ref.at[pl.ds(ni * stride_skip + base, tb)], skipv, sem_skip
+            )
+            cs.start()
+            cs.wait()
+            src = bufs[cur]
+            for gi in range(tb // _GL):
+                gb = seg + _GL * gi  # first output interior row of the group
+                sl = src[pl.ds(gb * feat, (_GL + 2) * feat), :]
+                acc = None
+                for d in range(3):
+                    mm = jnp.dot(
+                        wl[d][:], sl, preferred_element_type=jnp.float32
+                    )  # (GL, wp)
+                    if d:
+                        mm = pltpu.roll(mm, wp - d, axis=1)
+                    acc = mm if acc is None else acc + mm
+                outv[pl.ds(_GL * gi, _GL), :] = (
+                    acc + bl[:] + skipv[pl.ds(_GL * gi, _GL), :]
+                )
+            cpo = pltpu.make_async_copy(
+                outv, out_ref.at[pl.ds((ni * nb + hi) * tb, tb)], sem_out
+            )
+        else:
+            cpo = pltpu.make_async_copy(
+                bufs[cur].at[pl.ds((1 + seg) * feat, tb * feat)],
+                out_ref.at[pl.ds((ni * nb + hi) * tb * feat, tb * feat)],
+                sem_out,
+            )
+        cpo.start()
+        cpo.wait()
+        return 0
+
+    # zero guard rows (and, for the first segment, the whole first buffer's
+    # top/bottom guards) once; interior rows are fully rewritten every block.
+    for b_ in bufs:
+        rows = b_.shape[0]
+        b_[0:feat, :] = jnp.zeros((feat, wp), cdt)
+        b_[rows - feat : rows, :] = jnp.zeros((feat, wp), cdt)
+    if has_first:
+        slab[:, :] = jnp.zeros((slabp, wp), jnp.float32)
+    jax.lax.fori_loop(0, n * nb, step, 0)
+
+
+# --------------------------------------------------------------------------
+# host-side driver
+# --------------------------------------------------------------------------
+
+
+def vdsr_fused_forward(
+    params: dict,
+    x: jnp.ndarray,
+    tile_h: int | None = None,
+    group: int = 4,
+    bf16: bool = True,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Fused VDSR forward.  x: (N, H, W[, 1]) pre-upscaled Y -> (N, H, W, 1).
+
+    ``bf16=True`` stores activations/weights in bf16 with f32 accumulation
+    (~1e-2 absolute error — PSNR-irrelevant); ``bf16=False`` matches the
+    flax apply to ~1e-5.  ``group`` is the MXU row-group G (2 or 4): the
+    assembled K window wastes (G+2)/3 x FLOPs, so G=2 minimizes MACs while
+    G=4 maximizes matmul size.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    ws = extract_vdsr_weights(params)
+    assert ws[0][0].shape[2] == 1 and ws[-1][0].shape[3] == 1, (
+        "fused VDSR supports channels=1 (the Y protocol path)"
+    )
+    return _vdsr_fused(tuple(ws), x, tile_h, group, bf16, interpret)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile_h", "group", "bf16", "interpret")
+)
+def _vdsr_fused(ws, x, tile_h, group, bf16, interpret):
+    if x.ndim == 4:
+        x = x[..., 0]
+    x = x.astype(jnp.float32)
+    n, h, width = x.shape
+    feat = ws[0][0].shape[-1]
+    depth = len(ws)
+    cdt = jnp.bfloat16 if bf16 else jnp.float32
+    sizes = _segment_sizes(depth)
+    smax = max(sizes)
+
+    tb = tile_h if tile_h is not None else 48
+    tb = min(tb, _align(h, 8))
+    hp = _align(h, tb)
+    nb = hp // tb
+    wp = _align(width + 2 * smax + 2, 128)
+    hps = _align(hp, 8)
+
+    # skip planar for the fused residual epilogue: image rows at offset 0.
+    sp = jnp.zeros((n, hps, wp), jnp.float32)
+    sp = sp.at[:, :h, :width].set(x)
+    sp = sp.reshape(n * hps, wp)
+
+    cur = None  # inter-segment activations, (n*hp*feat, wp) cdt, col off 0
+    ci = 0
+    for si, seg in enumerate(sizes):
+        has_first = si == 0
+        has_last = si == len(sizes) - 1
+        n_mid = seg - int(has_first) - int(has_last)
+        spanp = _align(tb + 2 * seg, 8)
+        slabp = _align(spanp + 2, 8)
+
+        ins, wrefs, scratch = [], [], []
+        if has_first:
+            stride_in = _align(seg + 1 + hp + seg + 8, 8)
+            xp = jnp.zeros((n, stride_in, wp), jnp.float32)
+            xp = xp.at[:, seg + 1 : seg + 1 + h, seg : seg + width].set(x)
+            ins.append(xp.reshape(n * stride_in, wp))
+        else:
+            stride_in = (8 + hp + 16) * feat
+            xp = jnp.zeros((n, 8 + hp + 16, feat, wp), cdt)
+            xp = xp.at[:, 8 : 8 + hp, :, seg : seg + width].set(
+                cur.reshape(n, hp, feat, wp)[..., :width]
+            )
+            ins.append(xp.reshape(n * stride_in, wp))
+        if has_last:
+            ins.append(sp)
+
+        args = []
+        if has_first:
+            w1, b1 = _first_weights(*ws[ci], cdt)
+            args += [w1, b1]
+        for li in range(n_mid):
+            mats, bt = _mid_weights(*ws[ci + int(has_first) + li], group, cdt)
+            args += [*mats, bt]
+        if has_last:
+            wl, bl = _last_weights(*ws[ci + seg - 1], cdt)
+            args += [*wl, bl]
+
+        scratch = [
+            pltpu.VMEM(((spanp + 2) * feat, wp), cdt),
+            pltpu.VMEM(((spanp + 2) * feat, wp), cdt),
+        ]
+        if has_first:
+            scratch.append(pltpu.VMEM((slabp, wp), jnp.float32))
+        if has_last:
+            scratch.append(pltpu.VMEM((tb, wp), jnp.float32))
+            scratch.append(pltpu.VMEM((tb, wp), jnp.float32))
+        scratch += [pltpu.SemaphoreType.DMA(()), pltpu.SemaphoreType.DMA(())]
+        if has_last:
+            scratch.append(pltpu.SemaphoreType.DMA(()))
+
+        if has_last:
+            out_shape = jax.ShapeDtypeStruct((n * hp, wp), jnp.float32)
+        else:
+            out_shape = jax.ShapeDtypeStruct((n * hp * feat, wp), cdt)
+
+        cfg = (n, nb, tb, h, width, wp, feat, seg, has_first, has_last,
+               group, spanp, slabp, stride_in, hps, cdt)
+        kernel = functools.partial(_seg_kernel, cfg=cfg)
+        cur = pl.pallas_call(
+            kernel,
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(ins)
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(args),
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            out_shape=out_shape,
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(*ins, *args)
+        ci += seg
+
+    out = cur.reshape(n, hp, wp)[:, :h, :width]
+    return out[..., None].astype(jnp.float32)

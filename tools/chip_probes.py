@@ -218,7 +218,92 @@ def probe_xla_bf16():
         print(f"  {label}: {mps:.1f} MP/s ({dt*1e3:.2f} ms)", flush=True)
 
 
-ALL = [probe_vmem, probe_mosaic, probe_fused2, probe_kapply, probe_xla_bf16]
+@section("vdsrfused")
+def probe_vdsr_fused():
+    """Fused VDSR + fused ESPCN v2: AOT gate -> on-device parity -> timing.
+
+    Self-gating: the 1080p program is AOT-compiled first (chipless, safe);
+    execution only happens if Mosaic accepts it, so a rejected kernel can
+    never fault the chip.  Runs inside master2's bounded probe slot.
+    """
+    import time as _t
+
+    import jax
+    import jax.numpy as jnp
+
+    import bench
+    from ml_super_resolution_tpu.kernels.vdsr_fused import vdsr_fused_forward
+    from ml_super_resolution_tpu.models import build_model
+    from ml_super_resolution_tpu.utils.config import ModelConfig
+
+    m = build_model(ModelConfig(name="vdsr", scale=4, channels=1))
+    x = jnp.asarray(
+        np.random.default_rng(0).random((1, 1080, 1920, 1)), jnp.float32
+    )
+    v = m.init(jax.random.key(0), x[:1], train=False)
+
+    fused = jax.jit(lambda p, inp: vdsr_fused_forward(p, inp, interpret=False))
+    t0 = _t.perf_counter()
+    try:
+        fused.lower(v["params"], x).compile()
+    except Exception as e:
+        print(f"  AOT REJECTED ({str(e).splitlines()[0][:160]})", flush=True)
+        return
+    print(f"  AOT compile (1080p, 4 segments): {_t.perf_counter()-t0:.1f}s OK",
+          flush=True)
+
+    ref = np.asarray(m.apply(v, x, train=False))
+    out = np.asarray(fused(v["params"], x))
+    err = float(np.abs(out - ref).max())
+    print(f"  vdsr-fused bf16 on-device max err vs flax f32: {err:.2e}",
+          flush=True)
+    if err > 0.1:
+        print("  PARITY FAIL — skipping timing", flush=True)
+        return
+
+    dt = bench._iter_time(
+        lambda p, inp: vdsr_fused_forward(p, inp, interpret=False),
+        v["params"], x, iters=4,
+    )
+    print(f"  vdsr-fused-bf16: {1080*1920/1e6/dt:.1f} MP/s ({dt*1e3:.2f} ms)",
+          flush=True)
+    for label, ov in [("vdsr-bf16-xla", {"dtype": jnp.bfloat16}),
+                      ("vdsr-f32-xla", None)]:
+        mps, dtx = bench.bench_model_mps(
+            "vdsr", 4, (1080, 1920), 1, 1, overrides=ov, iters=6)
+        print(f"  {label}: {mps:.1f} MP/s ({dtx*1e3:.2f} ms)", flush=True)
+
+    # fused ESPCN v2 (the round-2 kernel): parity then timing vs bf16 XLA
+    from ml_super_resolution_tpu.kernels.espcn_fused2 import (
+        espcn_fused2_forward,
+        extract_espcn_weights,
+    )
+
+    me = build_model(ModelConfig(name="espcn", scale=4, channels=1))
+    xe = jnp.asarray(
+        np.random.default_rng(1).random((8, 270, 480, 1)), jnp.float32
+    )
+    ve = me.init(jax.random.key(1), xe[:1], train=False)
+    refe = np.asarray(me.apply(ve, xe, train=False))
+    wts = extract_espcn_weights(ve["params"])
+    for bf16 in (True, False):
+        oute = np.asarray(espcn_fused2_forward(wts, xe, 4, bf16=bf16))
+        print(f"  espcn-fused2 bf16={bf16} on-device max err: "
+              f"{np.abs(oute - refe).max():.2e}", flush=True)
+    mpe = 8 * 1080 * 1920 / 1e6
+    dte = bench._iter_time(
+        lambda w, inp: espcn_fused2_forward(w, inp, 4, bf16=True),
+        wts, xe, iters=10)
+    print(f"  espcn-fused2-bf16: {mpe/dte:.1f} MP/s ({dte*1e3:.2f} ms)",
+          flush=True)
+    mps_e, dt_e = bench.bench_model_mps(
+        "espcn", 4, (1080, 1920), 8, 1,
+        overrides={"dtype": jnp.bfloat16}, iters=10)
+    print(f"  espcn-bf16-xla: {mps_e:.1f} MP/s ({dt_e*1e3:.2f} ms)", flush=True)
+
+
+ALL = [probe_vmem, probe_mosaic, probe_fused2, probe_kapply, probe_xla_bf16,
+       probe_vdsr_fused]
 
 if __name__ == "__main__":
     want = set(sys.argv[1:])
