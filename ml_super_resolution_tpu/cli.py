@@ -44,6 +44,9 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--pallas-preprocess", action="store_true",
                    help="K3: fused Pallas luma+degrade stage in the train "
                         "step (Y-channel single-scale models)")
+    p.add_argument("--steps-per-call", type=int, default=1,
+                   help="scan K batches per jitted call (amortizes dispatch "
+                        "and host->device latency; identical math to K=1)")
     p.add_argument("--dp", type=int, default=0, help="data-parallel devices (0=all)")
     p.add_argument("--ema", type=float, default=0.0)
     p.add_argument("--no-resume", action="store_true")
@@ -119,6 +122,7 @@ def _config_from_args(args) -> "ExperimentConfig":
             grad_clip_norm=d["clip"],
             bf16=args.bf16,
             pallas_preprocess=getattr(args, "pallas_preprocess", False),
+            steps_per_call=getattr(args, "steps_per_call", 1),
             dp=args.dp,
             ema_decay=args.ema,
             resume=not args.no_resume,

@@ -126,6 +126,20 @@ class Trainer:
             in_shardings=(self.replicated, self.batch_sharding),
             out_shardings=(self.replicated, self.replicated),
         )
+        # Multi-step dispatch (TrainConfig.steps_per_call): one jitted call
+        # scans K stacked batches — K-fold fewer host->device round trips,
+        # bit-identical step math (same per-step RNG fold_in chain).
+        if jax.process_count() > 1:
+            stack_spec = P(None, ("dcn", "data"))
+        else:
+            stack_spec = P(None, "data")
+        self.stack_sharding = NamedSharding(self.mesh, stack_spec)
+        self._train_step_scan = jax.jit(
+            self._multi_step_impl,
+            donate_argnums=(0,),
+            in_shardings=(self.replicated, self.stack_sharding),
+            out_shardings=(self.replicated, self.replicated),
+        )
         self._eval_apply = jax.jit(self._eval_forward)
 
     # ------------------------------------------------------------- state --
@@ -243,6 +257,17 @@ class Trainer:
             metrics,
         )
 
+    def _multi_step_impl(self, state: TrainState, tiles_stack: jnp.ndarray):
+        """K sequential steps under one dispatch: scan over the leading dim.
+
+        Returns the final state and the LAST step's metrics (matching what
+        a sequential caller would log at the same step index).
+        """
+        state, metrics = jax.lax.scan(
+            lambda s, t: self._step_impl(s, t), state, tiles_stack
+        )
+        return state, jax.tree.map(lambda m: m[-1], metrics)
+
     def train_step(self, state: TrainState, tiles: np.ndarray):
         """One jitted step; ``tiles`` is a uint8 (N, T, T, 3) host batch."""
         return self._train_step(state, tiles)
@@ -302,42 +327,65 @@ class Trainer:
                 state, start_step = restored
                 self.logger.log("resume", start_step)
 
-        # Device prefetch: the uint8 tile batch is the loop's only
-        # host->device transfer; stage the next batch onto the device while
-        # the current step computes (SURVEY §3.5 "one transfer per batch").
-        def prefetched(raw_it):
-            nxt = self._put_batch(next(raw_it))
+        # Chunk schedule: steps_per_call full scans, then single-step tail.
+        # (K=1 degenerates to the classic one-step loop.)
+        kk = max(1, c.train.steps_per_call)
+        todo = steps - start_step
+        schedule = [kk] * (todo // kk) + [1] * (todo % kk)
+
+        # Device prefetch: the uint8 tile stack is the loop's only
+        # host->device transfer; stage the next one onto the device while
+        # the current call computes (SURVEY §3.5 "one transfer per batch").
+        def grab(raw_it, k):
+            if k == 1:
+                return 1, self._put_batch(next(raw_it))
+            stack = np.stack([next(raw_it) for _ in range(k)])
+            return k, put_batch(self.stack_sharding, stack)
+
+        def prefetched(raw_it, sched):
+            si = iter(sched)
+            try:
+                nxt = grab(raw_it, next(si))
+            except StopIteration:
+                return
             while True:
                 cur = nxt
                 try:
-                    nxt = self._put_batch(next(raw_it))
+                    nxt = grab(raw_it, next(si))
                 except StopIteration:
                     yield cur
                     return
                 yield cur
 
-        it = prefetched(iter(loader))
+        def crossed(new_step, old_step, every):
+            return new_step // every > old_step // every
+
+        it = prefetched(iter(loader), schedule)
         best_psnr = self._load_best_psnr()
         t0 = time.perf_counter()
-        for step in range(start_step, steps):
-            tiles = next(it)
-            state, metrics = self.train_step(state, tiles)
-            if (step + 1) % c.train.log_every == 0 or step == 0:
-                m = {k: float(v) for k, v in metrics.items()}
+        step = start_step
+        since_log = 0
+        for k, tiles in it:
+            if k == 1:
+                state, metrics = self.train_step(state, tiles)
+            else:
+                state, metrics = self._train_step_scan(state, tiles)
+            prev, step = step, step + k
+            since_log += k
+            if crossed(step, prev, c.train.log_every) or prev == start_step == 0:
+                m = {key: float(v) for key, v in metrics.items()}
                 dt = time.perf_counter() - t0
                 t0 = time.perf_counter()
                 self.logger.log(
-                    "train",
-                    step + 1,
-                    **m,
-                    steps_per_s=(c.train.log_every if step else 1) / dt,
+                    "train", step, **m, steps_per_s=since_log / dt
                 )
-            if eval_images and (step + 1) % c.train.eval_every == 0:
+                since_log = 0
+            if eval_images and crossed(step, prev, c.train.eval_every):
                 ev = self.evaluate(state, eval_images)
-                self.logger.log("eval", step + 1, **ev)
-                best_psnr = self._maybe_save_best(step + 1, state, ev, best_psnr)
-            if self.ckpt and (step + 1) % c.train.ckpt_every == 0:
-                self.ckpt.save(step + 1, jax.device_get(state))
+                self.logger.log("eval", step, **ev)
+                best_psnr = self._maybe_save_best(step, state, ev, best_psnr)
+            if self.ckpt and crossed(step, prev, c.train.ckpt_every):
+                self.ckpt.save(step, jax.device_get(state))
         if self.ckpt:
             self.ckpt.save(steps, jax.device_get(state))
             self.ckpt.wait()

@@ -72,6 +72,12 @@ class TrainConfig:
     # Pallas kernel (kernels/preprocess.py) instead of the XLA-fused ops
     # path.  Y-channel single-scale models only; measured delta in RESULTS.md.
     pallas_preprocess: bool = False
+    # Multi-step dispatch: lax.scan over K stacked batches per jitted call.
+    # Amortizes host->device round trips K-fold (decisive on high-latency
+    # attach paths; also cuts dispatch overhead on healthy hosts).  Batch
+    # order, RNG streams and math are identical to K=1 (test_trainer).
+    # log/eval/ckpt cadences fire on crossing their boundaries.
+    steps_per_call: int = 1
     eval_every: int = 1000
     log_every: int = 100
     ckpt_every: int = 1000

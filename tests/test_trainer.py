@@ -137,3 +137,39 @@ def test_vdsr_multiscale_training_step():
     state = tr.init_state(0)
     state, m = tr.train_step(state, _tiles())
     assert np.isfinite(float(m["loss"]))
+
+
+def test_steps_per_call_scan_matches_single_steps(tmp_path):
+    """Multi-step dispatch (lax.scan over K stacked batches) reproduces the
+    K=1 trajectory exactly: same deterministic batch stream, same per-step
+    RNG fold_in chain, same final params and logged metrics cadence."""
+    ds = SyntheticImages(n=8, size=64, seed=2)
+
+    def run(k, wd):
+        cfg = _cfg("espcn").replace(
+            train=TrainConfig(
+                steps=9, log_every=3, eval_every=10**9, ckpt_every=10**9,
+                steps_per_call=k, resume=False,
+            )
+        )
+        with TileLoader(ds, batch_size=8, tile_size=64, deterministic=True,
+                        seed=5) as loader:
+            tr = Trainer(cfg, workdir=wd)
+            return tr.fit(loader, steps=9)
+
+    s1 = run(1, tmp_path / "k1")
+    s4 = run(4, tmp_path / "k4")  # 2 scans of 4 + 1 single-step tail
+    assert int(s1.step) == int(s4.step) == 9
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s4.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    # cadence: both runs logged train lines at steps 3, 6, 9
+    import json
+
+    def logged(wd):
+        lines = (wd / "metrics.jsonl").read_text().splitlines()
+        return [json.loads(l)["step"] for l in lines
+                if json.loads(l)["kind"] == "train"]
+
+    assert logged(tmp_path / "k1")[-3:] == [3, 6, 9]
+    # K=4: boundaries fire on crossing — after the call that passes them
+    assert logged(tmp_path / "k4")[-3:] == [4, 8, 9]
