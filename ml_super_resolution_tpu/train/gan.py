@@ -143,6 +143,20 @@ class GANTrainer:
             in_shardings=(self.replicated, self.batch_sharding),
             out_shardings=(self.replicated, self.replicated),
         )
+        # Multi-step dispatch (TrainConfig.steps_per_call), same contract as
+        # Trainer: scan K stacked batches per call, last step's metrics.
+        stack_spec = (
+            P(None, ("dcn", "data")) if jax.process_count() > 1 else P(None, "data")
+        )
+        self.stack_sharding = NamedSharding(self.mesh, stack_spec)
+        self._gan_step_scan = jax.jit(
+            lambda state, stack: (
+                lambda sm: (sm[0], jax.tree.map(lambda m: m[-1], sm[1]))
+            )(jax.lax.scan(lambda s, t: self._step_impl(s, t), state, stack)),
+            donate_argnums=(0,),
+            in_shardings=(self.replicated, self.stack_sharding),
+            out_shardings=(self.replicated, self.replicated),
+        )
         # per-shape compile cache for eval (one trace per eval-image shape)
         self._g_eval = jax.jit(
             lambda p, s, x: self._g_apply(p, s, x, False)[0]
@@ -388,25 +402,40 @@ class GANTrainer:
                 self.logger.log("resume", start)
         it = iter(loader)
         best_psnr = load_best_psnr(self.workdir)
+        kk = max(1, c.train.steps_per_call)
+        todo = steps - start
+        schedule = [kk] * (todo // kk) + [1] * (todo % kk)
+
+        def crossed(new_step, old_step, every):
+            return new_step // every > old_step // every
+
         t0 = time.perf_counter()
-        for step in range(start, steps):
-            state, metrics = self.train_step(state, next(it))
-            if (step + 1) % c.train.log_every == 0 or step == 0:
-                m = {k: float(v) for k, v in metrics.items()}
+        step = start
+        since_log = 0
+        for k in schedule:
+            if k == 1:
+                state, metrics = self.train_step(state, next(it))
+            else:
+                stack = np.stack([next(it) for _ in range(k)])
+                state, metrics = self._gan_step_scan(
+                    state, put_batch(self.stack_sharding, stack)
+                )
+            prev, step = step, step + k
+            since_log += k
+            if crossed(step, prev, c.train.log_every) or prev == start == 0:
+                m = {key: float(v) for key, v in metrics.items()}
                 dt = time.perf_counter() - t0
                 t0 = time.perf_counter()
-                self.logger.log(
-                    "gan", step + 1, **m,
-                    steps_per_s=(c.train.log_every if step else 1) / dt,
-                )
-            if eval_images and (step + 1) % c.train.eval_every == 0:
+                self.logger.log("gan", step, **m, steps_per_s=since_log / dt)
+                since_log = 0
+            if eval_images and crossed(step, prev, c.train.eval_every):
                 ev = self.evaluate(state, eval_images)
-                self.logger.log("eval", step + 1, **ev)
+                self.logger.log("eval", step, **ev)
                 best_psnr = maybe_save_best(
-                    self.ckpt_best, self.workdir, step + 1, state, ev, best_psnr
+                    self.ckpt_best, self.workdir, step, state, ev, best_psnr
                 )
-            if self.ckpt and (step + 1) % c.train.ckpt_every == 0:
-                self.ckpt.save(step + 1, jax.device_get(state))
+            if self.ckpt and crossed(step, prev, c.train.ckpt_every):
+                self.ckpt.save(step, jax.device_get(state))
         if self.ckpt:
             self.ckpt.save(steps, jax.device_get(state))
             self.ckpt.wait()

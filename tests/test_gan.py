@@ -145,3 +145,64 @@ def test_gan_featurenet_backbone(cfg, tmp_path):
     loaded = load_feature_net(path)
     for a, b in zip(jax.tree.leaves(loaded), jax.tree.leaves(params["encoder"])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_gan_steps_per_call_scan_matches_single(cfg):
+    """One scan call of K=2 reproduces two sequential steps (same state).
+
+    Verifies the multi-step wiring: per-step RNG fold_in chain, batch
+    slicing order, state threading.  Compared via the step-2 METRICS:
+    param-level equality is untestable for GANs because Adam's early
+    updates are sign-like (update ~ lr * g/|g|), so leaves with near-zero
+    gradients amplify ~1e-7 fusion-reassociation noise into full +-lr
+    differences.  The metrics are sums over thousands of elements — robust
+    to that noise, yet O(1)-wrong if the wiring were broken.
+    """
+    from ml_super_resolution_tpu.train.trainer import put_batch
+
+    tr = GANTrainer(cfg)
+    t0, t1 = _tiles(seed=3), _tiles(seed=4)
+
+    sa = tr.init_state(0)
+    sa, _ = tr.train_step(sa, t0)
+    sa, ma = tr.train_step(sa, t1)
+    jax.block_until_ready(ma)
+
+    sb = tr.init_state(0)
+    stack = put_batch(tr.stack_sharding, np.stack([t0, t1]))
+    sb, mb = tr._gan_step_scan(sb, stack)
+    jax.block_until_ready(mb)
+
+    assert int(sa.step) == int(sb.step) == 2
+    for k_ in ("d_loss", "g_loss", "pixel", "perceptual", "adversarial"):
+        np.testing.assert_allclose(
+            float(mb[k_]), float(ma[k_]), rtol=2e-2, atol=1e-4, err_msg=k_
+        )
+
+
+def test_gan_fit_steps_per_call_smoke(tmp_path):
+    """fit() with steps_per_call>1: schedule, cadences and tail all work."""
+    import dataclasses
+    import json
+
+    c = ExperimentConfig(
+        model=ModelConfig(
+            name="srgan", scale=4, channels=3, overrides={"num_blocks": 1}
+        ),
+        data=DataConfig(tile_size=64, patch_size=32, batch_size=4),
+        train=TrainConfig(
+            steps=6, steps_per_call=4, learning_rate=1e-4, log_every=2,
+            eval_every=10**9, ckpt_every=10**9, pretrain_steps=0,
+            resume=False, dp=1,
+        ),
+    )
+    ds = SyntheticImages(n=4, size=64, seed=3)
+    with TileLoader(ds, batch_size=4, tile_size=64, deterministic=True,
+                    seed=9) as loader:
+        tr = GANTrainer(c, workdir=tmp_path / "k4")
+        state = tr.fit(loader, steps=6)
+    assert int(state.step) == 6
+    lines = [json.loads(l) for l in
+             (tmp_path / "k4" / "metrics.jsonl").read_text().splitlines()]
+    gan_steps = [l["step"] for l in lines if l["kind"] == "gan"]
+    assert gan_steps[-2:] == [4, 6]  # crossing semantics: 4 (scan), 6 (tail)
