@@ -47,6 +47,11 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--steps-per-call", type=int, default=1,
                    help="scan K batches per jitted call (amortizes dispatch "
                         "and host->device latency; identical math to K=1)")
+    p.add_argument("--device-data", action="store_true",
+                   help="stage the whole decoded corpus on device once and "
+                        "sample tiles with the device PRNG — zero "
+                        "steady-state host->device traffic (corpus must "
+                        "fit in HBM; SR datasets are tiny)")
     p.add_argument("--dp", type=int, default=0, help="data-parallel devices (0=all)")
     p.add_argument("--ema", type=float, default=0.0)
     p.add_argument("--no-resume", action="store_true")
@@ -113,6 +118,7 @@ def _config_from_args(args) -> "ExperimentConfig":
             scales=(2, 3, 4) if getattr(args, "multi_scale", False) else (),
             seed=args.seed,
             deterministic=getattr(args, "deterministic", False),
+            device_dataset=getattr(args, "device_data", False),
         ),
         train=TrainConfig(
             steps=args.steps,

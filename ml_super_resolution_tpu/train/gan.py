@@ -38,6 +38,8 @@ from ml_super_resolution_tpu.train.trainer import (
     make_optimizer,
     maybe_save_best,
     put_batch,
+    sample_device_tiles,
+    stage_device_images,
 )
 from ml_super_resolution_tpu.utils.config import ExperimentConfig
 from ml_super_resolution_tpu.utils.logging import MetricsLogger
@@ -155,6 +157,22 @@ class GANTrainer:
             )(jax.lax.scan(lambda s, t: self._step_impl(s, t), state, stack)),
             donate_argnums=(0,),
             in_shardings=(self.replicated, self.stack_sharding),
+            out_shardings=(self.replicated, self.replicated),
+        )
+        # Device-resident dataset (DataConfig.device_dataset): sample tiles
+        # with the device PRNG from the staged corpus — zero steady-state
+        # host->device traffic (same design as Trainer).
+        self._gan_device_step = jax.jit(
+            self._device_step_impl,
+            donate_argnums=(0,),
+            in_shardings=(self.replicated, self.replicated),
+            out_shardings=(self.replicated, self.replicated),
+        )
+        self._gan_device_multi = jax.jit(
+            self._device_multi_impl,
+            static_argnums=(2,),
+            donate_argnums=(0,),
+            in_shardings=(self.replicated, self.replicated),
             out_shardings=(self.replicated, self.replicated),
         )
         # per-shape compile cache for eval (one trace per eval-image shape)
@@ -313,6 +331,20 @@ class GANTrainer:
     def train_step(self, state: GANState, tiles: np.ndarray):
         return self._gan_step(state, put_batch(self.batch_sharding, tiles))
 
+    # ------------------------------------------- device-resident dataset --
+    def _device_step_impl(self, state: GANState, images: jnp.ndarray):
+        tiles = sample_device_tiles(
+            state.rng, state.step, images,
+            self.cfg.data.tile_size, self.cfg.data.batch_size,
+        )
+        return self._step_impl(state, tiles)
+
+    def _device_multi_impl(self, state: GANState, images: jnp.ndarray, k: int):
+        state, metrics = jax.lax.scan(
+            lambda s, _: self._device_step_impl(s, images), state, None, length=k
+        )
+        return state, jax.tree.map(lambda m: m[-1], metrics)
+
     # -------------------------------------------------------------- eval --
     def evaluate(self, state: GANState, images) -> dict[str, float]:
         """Generator-only protocol eval (luma PSNR/SSIM, border shave)."""
@@ -409,11 +441,21 @@ class GANTrainer:
         def crossed(new_step, old_step, every):
             return new_step // every > old_step // every
 
+        images = None
+        if c.data.device_dataset:
+            images = stage_device_images(
+                loader.dataset, c.data.tile_size, self.replicated, self.logger
+            )
         t0 = time.perf_counter()
         step = start
         since_log = 0
         for k in schedule:
-            if k == 1:
+            if images is not None:
+                if k == 1:
+                    state, metrics = self._gan_device_step(state, images)
+                else:
+                    state, metrics = self._gan_device_multi(state, images, k)
+            elif k == 1:
                 state, metrics = self.train_step(state, next(it))
             else:
                 stack = np.stack([next(it) for _ in range(k)])

@@ -140,6 +140,19 @@ class Trainer:
             in_shardings=(self.replicated, self.stack_sharding),
             out_shardings=(self.replicated, self.replicated),
         )
+        self._device_step = jax.jit(
+            self._device_step_impl,
+            donate_argnums=(0,),
+            in_shardings=(self.replicated, self.replicated),
+            out_shardings=(self.replicated, self.replicated),
+        )
+        self._device_multi = jax.jit(
+            self._device_multi_impl,
+            static_argnums=(2,),
+            donate_argnums=(0,),
+            in_shardings=(self.replicated, self.replicated),
+            out_shardings=(self.replicated, self.replicated),
+        )
         self._eval_apply = jax.jit(self._eval_forward)
 
     # ------------------------------------------------------------- state --
@@ -268,6 +281,25 @@ class Trainer:
         )
         return state, jax.tree.map(lambda m: m[-1], metrics)
 
+    # ------------------------------------------- device-resident dataset --
+    def _device_step_impl(self, state: TrainState, images: jnp.ndarray):
+        tiles = sample_device_tiles(
+            state.rng, state.step, images,
+            self.cfg.data.tile_size, self.cfg.data.batch_size,
+        )
+        return self._step_impl(state, tiles)
+
+    def _device_multi_impl(self, state: TrainState, images: jnp.ndarray, k: int):
+        state, metrics = jax.lax.scan(
+            lambda s, _: self._device_step_impl(s, images), state, None, length=k
+        )
+        return state, jax.tree.map(lambda m: m[-1], metrics)
+
+    def stage_device_images(self, dataset) -> jnp.ndarray:
+        return stage_device_images(
+            dataset, self.cfg.data.tile_size, self.replicated, self.logger
+        )
+
     def train_step(self, state: TrainState, tiles: np.ndarray):
         """One jitted step; ``tiles`` is a uint8 (N, T, T, 3) host batch."""
         return self._train_step(state, tiles)
@@ -360,13 +392,25 @@ class Trainer:
         def crossed(new_step, old_step, every):
             return new_step // every > old_step // every
 
-        it = prefetched(iter(loader), schedule)
+        if c.data.device_dataset:
+            # Device-resident corpus: no host batches at all.  The loader is
+            # only used as a handle to its dataset (never started).
+            images = self.stage_device_images(loader.dataset)
+            it = ((k, None) for k in schedule)
+        else:
+            images = None
+            it = prefetched(iter(loader), schedule)
         best_psnr = self._load_best_psnr()
         t0 = time.perf_counter()
         step = start_step
         since_log = 0
         for k, tiles in it:
-            if k == 1:
+            if tiles is None:
+                if k == 1:
+                    state, metrics = self._device_step(state, images)
+                else:
+                    state, metrics = self._device_multi(state, images, k)
+            elif k == 1:
                 state, metrics = self.train_step(state, tiles)
             else:
                 state, metrics = self._train_step_scan(state, tiles)
@@ -399,6 +443,44 @@ class Trainer:
 
     def _maybe_save_best(self, step: int, state, ev: dict, best_psnr: float) -> float:
         return maybe_save_best(self.ckpt_best, self.workdir, step, state, ev, best_psnr)
+
+
+def sample_device_tiles(rng, step, images: jnp.ndarray, tile: int, batch: int):
+    """Draw a batch of HR tiles from the staged corpus with device PRNG.
+
+    Replaces the host loader's (image, y, x) choice; the downstream
+    crop/augment/degrade randomness is the usual in-step pipeline (which
+    folds the same ``(rng, step)`` with a different tag).
+    """
+    n, h, w, _ = images.shape
+    key = jax.random.fold_in(jax.random.fold_in(rng, step), 0x7113)
+    ki, ky, kx = jax.random.split(key, 3)
+    idx = jax.random.randint(ki, (batch,), 0, n)
+    ys = jax.random.randint(ky, (batch,), 0, h - tile + 1)
+    xs = jax.random.randint(kx, (batch,), 0, w - tile + 1)
+
+    def one(i, y, x):
+        return jax.lax.dynamic_slice(images, (i, y, x, 0), (1, tile, tile, 3))[0]
+
+    return jax.vmap(one)(idx, ys, xs)
+
+
+def stage_device_images(dataset, tile: int, sharding, logger) -> jnp.ndarray:
+    """Decode the whole corpus, reflect-pad to max HxW, stage on device."""
+    imgs = [dataset.decode(i) for i in range(len(dataset))]
+    hm = max(max(im.shape[0] for im in imgs), tile)
+    wm = max(max(im.shape[1] for im in imgs), tile)
+    padded = [
+        np.pad(
+            im,
+            ((0, hm - im.shape[0]), (0, wm - im.shape[1]), (0, 0)),
+            mode="reflect",
+        )
+        for im in imgs
+    ]
+    stack = np.stack(padded)
+    logger.log("device_data", 0, images=len(imgs), bytes=int(stack.nbytes))
+    return jax.device_put(stack, sharding)
 
 
 def put_batch(batch_sharding, batch: np.ndarray):

@@ -52,6 +52,13 @@ class DataConfig:
     # a seeded permutation stream — identical runs produce identical batch
     # sequences (and therefore identical metrics), at reduced ingest rate.
     deterministic: bool = False
+    # Device-resident dataset: stage ALL decoded images on the device once
+    # and sample training tiles with the device PRNG inside the jitted step
+    # — ZERO steady-state host->device traffic.  SR datasets are tiny (T91
+    # ~18 MB decoded), so this is the natural TPU-native pipeline whenever
+    # the corpus fits in HBM; it also makes runs bit-deterministic for free.
+    # Images are reflect-padded to the corpus max HxW at staging.
+    device_dataset: bool = False
 
 
 @dataclass(frozen=True)

@@ -206,3 +206,32 @@ def test_gan_fit_steps_per_call_smoke(tmp_path):
              (tmp_path / "k4" / "metrics.jsonl").read_text().splitlines()]
     gan_steps = [l["step"] for l in lines if l["kind"] == "gan"]
     assert gan_steps[-2:] == [4, 6]  # crossing semantics: 4 (scan), 6 (tail)
+
+
+def test_gan_device_dataset_mode(tmp_path):
+    """GAN device-resident corpus: trains to the step target, no host batches."""
+    import dataclasses
+    import json
+
+    c = ExperimentConfig(
+        model=ModelConfig(
+            name="srgan", scale=4, channels=3, overrides={"num_blocks": 1}
+        ),
+        data=DataConfig(tile_size=64, patch_size=32, batch_size=4,
+                        device_dataset=True),
+        train=TrainConfig(
+            steps=3, steps_per_call=2, learning_rate=1e-4, log_every=1,
+            eval_every=10**9, ckpt_every=10**9, pretrain_steps=0,
+            resume=False, dp=1,
+        ),
+    )
+    ds = SyntheticImages(n=4, size=80, seed=5)
+    with TileLoader(ds, batch_size=4, tile_size=64) as loader:
+        tr = GANTrainer(c, workdir=tmp_path / "dd")
+        state = tr.fit(loader, steps=3)
+    assert int(state.step) == 3
+    lines = [json.loads(l) for l in
+             (tmp_path / "dd" / "metrics.jsonl").read_text().splitlines()]
+    assert any(l["kind"] == "device_data" for l in lines)
+    gl = [l["g_loss"] for l in lines if l["kind"] == "gan"]
+    assert gl and all(np.isfinite(v) for v in gl)

@@ -173,3 +173,37 @@ def test_steps_per_call_scan_matches_single_steps(tmp_path):
     assert logged(tmp_path / "k1")[-3:] == [3, 6, 9]
     # K=4: boundaries fire on crossing — after the call that passes them
     assert logged(tmp_path / "k4")[-3:] == [4, 8, 9]
+
+
+def test_device_dataset_mode(tmp_path):
+    """Device-resident corpus: trains, bit-deterministic, scan == singles."""
+    import dataclasses
+    import json
+
+    ds = SyntheticImages(n=6, size=80, seed=4)
+
+    def run(wd, k):
+        cfg = _cfg("srcnn").replace(
+            data=DataConfig(tile_size=64, patch_size=32, batch_size=8,
+                            device_dataset=True),
+            train=TrainConfig(
+                steps=6, steps_per_call=k, log_every=2, eval_every=10**9,
+                ckpt_every=10**9, resume=False,
+            ),
+        )
+        with TileLoader(ds, batch_size=8, tile_size=64) as loader:
+            tr = Trainer(cfg, workdir=wd)
+            return tr.fit(loader, steps=6)
+
+    sa = run(tmp_path / "a", 1)
+    sb = run(tmp_path / "b", 1)   # identical seed => identical run
+    sc = run(tmp_path / "c", 4)   # scan(4) + 2 singles, same trajectory
+    for a, b in zip(jax.tree.leaves(sa.params), jax.tree.leaves(sb.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(sa.params), jax.tree.leaves(sc.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    # it actually trained
+    lines = [json.loads(l) for l in
+             (tmp_path / "a" / "metrics.jsonl").read_text().splitlines()]
+    losses = [l["loss"] for l in lines if l["kind"] == "train"]
+    assert losses[-1] < losses[0]
