@@ -106,6 +106,10 @@ def main():
         "unit": "MP/s",
         "vs_baseline": round(mps / anchor, 2),
     }
+    # Emit the headline IMMEDIATELY: secondary rows involve Pallas kernels
+    # whose Mosaic compiles can be pathologically slow on this relay — the
+    # one required JSON line must never be hostage to them.
+    print(json.dumps(result), flush=True)
 
     # secondary rows (never let one kill the headline).  bf16 rows exist so
     # every fused kernel is compared against the *best* XLA configuration.
@@ -123,7 +127,8 @@ def main():
         ("srcnn", dict(name="srcnn", scale=4, out_hw=(1080, 1920), batch=1,
                        channels=1)),
     ]
-    bench_fused_espcn()
+    with _bounded(600, "espcn-pallas rows"):
+        bench_fused_espcn()
     for label, kw in secondaries:
         try:
             ov = kw.pop("overrides", None)
@@ -139,12 +144,42 @@ def main():
                   file=sys.stderr)
         except Exception as e:
             print(f"# {label} bench failed: {e}", file=sys.stderr)
-    bench_vdsr_fused()
-    bench_vdsr_pallas_head()
+    with _bounded(420, "vdsr-fused"):
+        bench_vdsr_fused()
+    with _bounded(300, "vdsr-pallas-head"):
+        bench_vdsr_pallas_head()
     bench_host_ingest()
     bench_virtual_mesh_scaling()
 
-    print(json.dumps(result))
+
+class _bounded:
+    """SIGALRM time-box for optional rows: a pathologically slow Mosaic
+    compile (observed >25 min for deep fused kernels on this relay) must
+    not eat the bench budget.  Main-thread only; the row's own try/except
+    reports the interruption."""
+
+    def __init__(self, seconds: int, label: str):
+        self.seconds, self.label = seconds, label
+
+    def __enter__(self):
+        import signal
+
+        def handler(signum, frame):
+            raise TimeoutError(f"{self.label}: exceeded {self.seconds}s budget")
+
+        self._old = signal.signal(signal.SIGALRM, handler)
+        signal.alarm(self.seconds)
+
+    def __exit__(self, *exc):
+        import signal
+
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, self._old)
+        if exc and exc[0] is TimeoutError:
+            print(f"# {self.label}: timed out ({self.seconds}s budget)",
+                  file=sys.stderr)
+            return True
+        return False
 
 
 def bench_fused_espcn():
