@@ -99,16 +99,23 @@ def pallas_apply_fn(model_name: str, variables, scale: int):
     """The ``--pallas`` routing used by infer.py; None = no fused path."""
     if model_name == "vdsr":
         params = variables["params"]
-        if params["Conv_0"]["kernel"].shape[2] == 1:
-            # Y-protocol path: whole-net multi-layer fused kernel (bf16 MXU,
-            # activations VMEM-resident across layer runs) — see
-            # kernels/vdsr_fused.py.  Falls back to the K2 head fusion for
-            # multi-channel checkpoints below.
+        import os
+
+        if (
+            os.environ.get("SR_VDSR_FUSED") == "1"
+            and params["Conv_0"]["kernel"].shape[2] == 1
+        ):
+            # Whole-net multi-layer fused kernel (kernels/vdsr_fused.py):
+            # golden-tested in interpret mode, but its Mosaic compile on the
+            # current remote-attach path exceeds 25 minutes (measured twice,
+            # never completed within budget), so it is OPT-IN via
+            # SR_VDSR_FUSED=1 rather than the default route.
             from ml_super_resolution_tpu.kernels.vdsr_fused import (
                 vdsr_fused_forward,
             )
 
             return lambda inp: vdsr_fused_forward(params, inp)
+        # Default: K2 fused residual head (on-device validated, fast compile).
         return lambda inp: vdsr_pallas_forward(params, inp)
     if model_name in ("srresnet", "srgan"):
         return lambda inp: srresnet_pallas_forward(
