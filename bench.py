@@ -93,11 +93,16 @@ def bench_model_mps(name: str, scale: int, out_hw, batch: int, channels: int,
 
 
 def main():
-    # ESPCN x4 -> 1080p output, batch of video frames (headline)
-    mps, dt = bench_model_mps("espcn", 4, (1080, 1920), batch=8, channels=1)
+    # ESPCN x4 -> 1080p output, batch of video frames (headline).  bf16
+    # trunk: the fastest measured configuration, at verified quality parity
+    # (RESULTS.md "bf16 trunk training/inference parity").
+    import jax.numpy as jnp
+
+    mps, dt = bench_model_mps("espcn", 4, (1080, 1920), batch=8, channels=1,
+                              overrides={"dtype": jnp.bfloat16})
     anchor = 1920 * 1080 * 30 / 1e6  # ESPCN paper: 30 fps 1080p on K2
     print(
-        f"# espcn x4 -> 1080p: {mps:.1f} MP/s ({dt*1e3:.2f} ms / 8-frame batch)",
+        f"# espcn-bf16 x4 -> 1080p: {mps:.1f} MP/s ({dt*1e3:.2f} ms / 8-frame batch)",
         file=sys.stderr,
     )
     result = {
@@ -114,8 +119,8 @@ def main():
     # secondary rows (never let one kill the headline).  bf16 rows exist so
     # every fused kernel is compared against the *best* XLA configuration.
     secondaries = [
-        ("espcn-bf16", dict(name="espcn", scale=4, out_hw=(1080, 1920), batch=8,
-                            channels=1, overrides={"dtype": "bf16"})),
+        ("espcn-f32", dict(name="espcn", scale=4, out_hw=(1080, 1920), batch=8,
+                           channels=1)),
         ("srresnet", dict(name="srresnet", scale=4, out_hw=(1080, 1920), batch=1,
                           channels=3)),
         ("srresnet-bf16", dict(name="srresnet", scale=4, out_hw=(1080, 1920),
@@ -144,8 +149,11 @@ def main():
                   file=sys.stderr)
         except Exception as e:
             print(f"# {label} bench failed: {e}", file=sys.stderr)
-    with _bounded(420, "vdsr-fused"):
-        bench_vdsr_fused()
+    # NOTE: no bench_vdsr_fused() row.  The whole-net fused VDSR kernel's
+    # Mosaic compile exceeds 25 min on this attach path and blocks inside a
+    # C-level RPC where SIGALRM cannot preempt it — calling it here would
+    # hang the remainder of the bench (measured; see RESULTS.md).  The
+    # kernel stays opt-in via SR_VDSR_FUSED=1.
     with _bounded(300, "vdsr-pallas-head"):
         bench_vdsr_pallas_head()
     bench_host_ingest()
