@@ -136,7 +136,7 @@ def _last_weights(w, b, cdt):
 
 def _seg_kernel(*refs, cfg):
     (n, nb, tb, h, width, wp, feat, seg, has_first, has_last, g, spanp,
-     slabp, stride_in, stride_skip, cdt) = cfg
+     slabp, stride_in, stride_skip, cdt, compact) = cfg
     n_mid = seg - int(has_first) - int(has_last)
 
     it = iter(refs)
@@ -212,8 +212,8 @@ def _seg_kernel(*refs, cfg):
             wd = (wd0, wd1, wd2)
             src, dst = bufs[cur], bufs[1 - cur]
             okc = col_ok(seg - li - 1)
-            for gi in range(spanp // g):
-                gb = g * gi
+
+            def group(gb, *, wd=wd, bt=bt, src=src, dst=dst, okc=okc):
                 sl = src[pl.ds(gb * feat, (g + 2) * feat), :]
                 acc = None
                 for d in range(3):
@@ -228,6 +228,17 @@ def _seg_kernel(*refs, cfg):
                 dst[pl.ds((1 + gb) * feat, g * feat), :] = jnp.where(
                     ok, v, 0.0
                 ).astype(cdt)
+
+            if compact:
+                # fori_loop over groups with dynamic (x feat sublanes,
+                # alignment-provable) offsets: ~(spanp/g)x smaller Mosaic
+                # program — the compile-time lever (NEXT.md round-3 #1a).
+                jax.lax.fori_loop(
+                    0, spanp // g, lambda gi, _: (group(gi * g), 0)[1], 0
+                )
+            else:
+                for gi in range(spanp // g):
+                    group(g * gi)
             li += 1
             cur = 1 - cur
 
@@ -287,6 +298,7 @@ def vdsr_fused_forward(
     tile_h: int | None = None,
     group: int = 4,
     bf16: bool = True,
+    compact: bool = False,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Fused VDSR forward.  x: (N, H, W[, 1]) pre-upscaled Y -> (N, H, W, 1).
@@ -303,13 +315,13 @@ def vdsr_fused_forward(
     assert ws[0][0].shape[2] == 1 and ws[-1][0].shape[3] == 1, (
         "fused VDSR supports channels=1 (the Y protocol path)"
     )
-    return _vdsr_fused(tuple(ws), x, tile_h, group, bf16, interpret)
+    return _vdsr_fused(tuple(ws), x, tile_h, group, bf16, compact, interpret)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tile_h", "group", "bf16", "interpret")
+    jax.jit, static_argnames=("tile_h", "group", "bf16", "compact", "interpret")
 )
-def _vdsr_fused(ws, x, tile_h, group, bf16, interpret):
+def _vdsr_fused(ws, x, tile_h, group, bf16, compact, interpret):
     if x.ndim == 4:
         x = x[..., 0]
     x = x.astype(jnp.float32)
@@ -387,7 +399,7 @@ def _vdsr_fused(ws, x, tile_h, group, bf16, interpret):
             out_shape = jax.ShapeDtypeStruct((n * hp * feat, wp), cdt)
 
         cfg = (n, nb, tb, h, width, wp, feat, seg, has_first, has_last,
-               group, spanp, slabp, stride_in, hps, cdt)
+               group, spanp, slabp, stride_in, hps, cdt, compact)
         kernel = functools.partial(_seg_kernel, cfg=cfg)
         cur = pl.pallas_call(
             kernel,

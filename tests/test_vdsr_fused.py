@@ -58,3 +58,12 @@ def test_vdsr_fused_group2_matches():
         vdsr_fused_forward(params, x, bf16=False, tile_h=24, group=2)
     )
     np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_vdsr_fused_compact_group_loop_matches():
+    """compact=True (fori_loop over groups, dynamic offsets) == unrolled."""
+    params, x, ref = _make(8, 32, 40, seed=7)
+    out = np.asarray(
+        vdsr_fused_forward(params, x, bf16=False, tile_h=16, compact=True)
+    )
+    np.testing.assert_allclose(out, ref, atol=2e-5)
