@@ -359,7 +359,30 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache (SR_JAX_CACHE=dir; '0' disables).
+
+    Amortizes compiles across process restarts — chunked/resumed training
+    runs (the relay-leak workaround) otherwise pay a full recompile per
+    chunk.  Harmless no-op where the backend compiles server-side.
+    """
+    import os
+
+    cache = os.environ.get("SR_JAX_CACHE", "/root/.cache/sr_jax_cache")
+    if cache == "0":
+        return
+    try:
+        import jax
+
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:
+        pass  # cache is an optimization, never a requirement
+
+
 def main(argv=None) -> int:
+    _enable_compilation_cache()
     parser = argparse.ArgumentParser(prog="sr", description=__doc__)
     sub = parser.add_subparsers(dest="cmd", required=True)
 
