@@ -39,8 +39,21 @@ residual add (bicubic skip) into its epilogue — one HBM write for the
 frame.  Segment boundaries (zero-pad + column shift) are XLA fusions.
 
 Golden-tested against the flax ``VDSR.apply`` in tests/test_vdsr_fused.py
-(interpret mode on CPU, exact to ~1e-5 with ``bf16=False``); wired to
-``sr upscale --pallas`` for vdsr via kernels/apply.py.
+(interpret mode on CPU, exact to ~1e-5 with ``bf16=False``); opt-in under
+``sr upscale --pallas`` via SR_VDSR_FUSED=1 (kernels/apply.py).
+
+On-device status (v5e attach path, measured 2026-08-17): the default
+config (tile_h=8, group=2, max_seg=4) compiles in ~45 s, passes parity
+(max err 6e-2, bf16 operands, depth 20 @ 1080p inputs) and runs 1080p x4
+at 36.8 MP/s — exactly its issued-FLOP roofline (56.4 ms = 4x the 14 ms
+bf16 ideal; the 4x = 3x row-halo recompute at tile_h=8 x 1.33x K-window
+waste at group=2), i.e. the kernel executes at full MXU efficiency but
+the small tile overwhelms it.  Larger tiles are blocked by two measured
+compiler limits: scratch is capped at 16 MB scoped VMEM (tile_h=48/seg=6
+needs 33.6 MB — graceful OOM diagnostic), and tile_h=16 at wp=2048
+crashes the remote tpu_compile_helper regardless of group/seg/compact.
+Round-3 lever: block over width (wp-chunking) so tile_h can grow inside
+the 16 MB budget.
 """
 
 from __future__ import annotations
@@ -68,12 +81,12 @@ def extract_vdsr_weights(params: dict) -> list[tuple[jnp.ndarray, jnp.ndarray]]:
     ]
 
 
-def _segment_sizes(depth: int) -> list[int]:
-    """Split `depth` convs into segments of at most _MAX_SEG."""
+def _segment_sizes(depth: int, max_seg: int = _MAX_SEG) -> list[int]:
+    """Split `depth` convs into segments of at most ``max_seg``."""
     sizes = []
     left = depth
     while left > 0:
-        s = min(_MAX_SEG, left)
+        s = min(max_seg, left)
         sizes.append(s)
         left -= s
     return sizes
@@ -296,9 +309,10 @@ def vdsr_fused_forward(
     params: dict,
     x: jnp.ndarray,
     tile_h: int | None = None,
-    group: int = 4,
+    group: int = 2,
     bf16: bool = True,
     compact: bool = False,
+    max_seg: int = 4,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Fused VDSR forward.  x: (N, H, W[, 1]) pre-upscaled Y -> (N, H, W, 1).
@@ -315,13 +329,14 @@ def vdsr_fused_forward(
     assert ws[0][0].shape[2] == 1 and ws[-1][0].shape[3] == 1, (
         "fused VDSR supports channels=1 (the Y protocol path)"
     )
-    return _vdsr_fused(tuple(ws), x, tile_h, group, bf16, compact, interpret)
+    return _vdsr_fused(tuple(ws), x, tile_h, group, bf16, compact, max_seg, interpret)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tile_h", "group", "bf16", "compact", "interpret")
+    jax.jit,
+    static_argnames=("tile_h", "group", "bf16", "compact", "max_seg", "interpret"),
 )
-def _vdsr_fused(ws, x, tile_h, group, bf16, compact, interpret):
+def _vdsr_fused(ws, x, tile_h, group, bf16, compact, max_seg, interpret):
     if x.ndim == 4:
         x = x[..., 0]
     x = x.astype(jnp.float32)
@@ -329,10 +344,10 @@ def _vdsr_fused(ws, x, tile_h, group, bf16, compact, interpret):
     feat = ws[0][0].shape[-1]
     depth = len(ws)
     cdt = jnp.bfloat16 if bf16 else jnp.float32
-    sizes = _segment_sizes(depth)
+    sizes = _segment_sizes(depth, max_seg)
     smax = max(sizes)
 
-    tb = tile_h if tile_h is not None else 48
+    tb = tile_h if tile_h is not None else 8
     tb = min(tb, _align(h, 8))
     hp = _align(h, tb)
     nb = hp // tb
