@@ -113,7 +113,10 @@ def main():
     }
     # Emit the headline IMMEDIATELY: secondary rows involve Pallas kernels
     # whose Mosaic compiles can be pathologically slow on this relay — the
-    # one required JSON line must never be hostage to them.
+    # one required JSON line must never be hostage to them.  It is emitted
+    # AGAIN as the very last stdout line below, because the driver's capture
+    # parses from the tail of the output (round-2 lesson: BENCH_r02.json
+    # recorded `parsed: null` when the only JSON line was early).
     print(json.dumps(result), flush=True)
 
     # secondary rows (never let one kill the headline).  bf16 rows exist so
@@ -158,6 +161,8 @@ def main():
         bench_vdsr_pallas_head()
     bench_host_ingest()
     bench_virtual_mesh_scaling()
+    # Final stdout line = the headline JSON (the driver parses the tail).
+    print(json.dumps(result), flush=True)
 
 
 class _bounded:
@@ -225,8 +230,14 @@ def bench_fused_espcn():
                 dtf = _iter_time(fwd, wts, x, iters=10)
                 print(f"# {label} x4 -> 1080p: {mp/dtf:.1f} MP/s "
                       f"({dtf*1e3:.2f} ms)", file=sys.stderr)
+            except TimeoutError:
+                # A mid-row SIGALRM must reach the _bounded context manager;
+                # swallowing it here would run the remaining rows unbounded.
+                raise
             except Exception as e:
                 print(f"# {label} bench failed: {e}", file=sys.stderr)
+    except TimeoutError:
+        raise
     except Exception as e:
         print(f"# espcn-pallas bench failed: {e}", file=sys.stderr)
 
@@ -279,6 +290,8 @@ def bench_vdsr_pallas_head():
         dtf = _iter_time(fwd, v["params"], x, iters=5)
         print(f"# vdsr-pallas-head x4 -> 1080p: {1080*1920/1e6/dtf:.1f} MP/s "
               f"({dtf*1e3:.2f} ms)", file=sys.stderr)
+    except TimeoutError:
+        raise
     except Exception as e:
         print(f"# vdsr-pallas-head bench failed: {e}", file=sys.stderr)
 

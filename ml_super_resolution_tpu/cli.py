@@ -160,7 +160,14 @@ def cmd_train(args) -> int:
         seed=cfg.data.seed,
         deterministic=cfg.data.deterministic,
     )
-    with loader:
+    # --device-data never consumes host batches: don't start decode workers
+    # (they would poll the prefetch queue for the whole run on a 1-core host).
+    import contextlib
+
+    loader_ctx = (
+        contextlib.nullcontext(loader) if cfg.data.device_dataset else loader
+    )
+    with loader_ctx:
         if args.model == "srgan":
             from ml_super_resolution_tpu.train.gan import GANTrainer
 

@@ -29,9 +29,27 @@ def conv_residual_add_reference(
     return skip + y + b
 
 
-def _pick_tile(h: int) -> int:
-    for th in (32, 24, 16, 8):
-        if th <= h or h % th == 0:
+# Mosaic rejects kernels whose scoped-VMEM stack exceeds 16 MB on this
+# target (measured: a 17.00M scratch at 1080p fails AOT with "exceeded
+# scoped vmem limit").  Keep a margin for the kernel's own temporaries.
+_VMEM_SCRATCH_BUDGET = 15 * 1024 * 1024
+
+
+def _pick_tile(h: int, cpad: int, cout: int, wp: int) -> int:
+    """Largest tile height whose scratch slabs fit the scoped-VMEM budget.
+
+    Scratch = input slab (th+2, cpad, wp) + skip & out slabs (th, cout, wp),
+    all f32.  Round 2's driver bench showed the un-budgeted pick (th=32)
+    failing to compile at 1080p: (34*64*2048)*4 B = 17 MB > the 16 MB cap.
+
+    Additionally, tpu_compile_helper crashes on row-spans of 24/32 at
+    wp>=2048 (bisected round 2; re-confirmed by the k2aot probe: th=24
+    REJECTED, th=16 compiles in 2.5 s) — so wide rows cap the tile at 16.
+    """
+    candidates = (16, 8) if wp >= 2048 else (32, 24, 16, 8)
+    for th in candidates:
+        scratch = ((th + 2) * cpad + 2 * th * cout) * wp * 4
+        if th <= h and scratch <= _VMEM_SCRATCH_BUDGET:
             return th
     return 8
 
@@ -103,18 +121,18 @@ def conv_residual_add(
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    return _conv_residual_add(feats, skip, w, b, interpret)
+    return _conv_residual_add(feats, skip, w, b, interpret, tile_h)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _conv_residual_add(feats, skip, w, b, interpret):
+@functools.partial(jax.jit, static_argnames=("interpret", "tile_h"))
+def _conv_residual_add(feats, skip, w, b, interpret, tile_h=None):
     n, h, width, cin = feats.shape
     cout = w.shape[-1]
     cpad = -(-cin // 8) * 8
-    th = _pick_tile(h)
+    wp = -(-(width + 2) // 128) * 128
+    th = tile_h if tile_h is not None else _pick_tile(h, cpad, cout, wp)
     hp = -(-h // th) * th
     nb = hp // th
-    wp = -(-(width + 2) // 128) * 128
 
     fq = jnp.transpose(feats, (0, 1, 3, 2))  # (N, H, Cin, W)
     fp = jnp.zeros((n, hp + 2, cpad, wp), jnp.float32)

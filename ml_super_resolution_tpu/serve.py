@@ -38,7 +38,8 @@ def _bucket(n: int, max_batch: int) -> int:
     b = 1
     while b < n and b < max_batch:
         b *= 2
-    return b
+    # a non-power-of-two max_batch must still cap the padded bucket
+    return min(b, max_batch)
 
 
 class _Batcher:
@@ -91,7 +92,15 @@ class _Batcher:
                 else:
                     stash.append(item)  # different shape: next batch
             self._pending.extend(stash)
-            self._process(batch)
+            try:
+                self._process(batch)
+            except Exception as e:
+                # A failure anywhere in _process (even outside the device
+                # call, e.g. MemoryError in np.stack) must not kill the
+                # worker thread: waiters would block forever on ev.wait().
+                for _, ev, slot in batch:
+                    slot["err"] = e
+                    ev.set()
 
     def _process(self, batch):
         imgs = np.stack([b[0] for b in batch])

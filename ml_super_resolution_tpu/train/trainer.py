@@ -94,11 +94,21 @@ class Trainer:
             self.mesh = make_multihost_mesh()
             self.batch_sharding = NamedSharding(self.mesh, P(("dcn", "data")))
         else:
-            dp = cfg.train.dp or len(jax.devices())
-            # the batch shards over 'data': use the largest device count
-            # that divides it (a 4-image debug batch on 8 devices -> dp=4)
-            while cfg.data.batch_size % dp:
-                dp -= 1
+            if cfg.train.dp:
+                # an explicitly requested dp must be honored exactly —
+                # silently training at a different parallelism is a lie
+                if cfg.data.batch_size % cfg.train.dp:
+                    raise ValueError(
+                        f"--dp {cfg.train.dp} does not divide batch size "
+                        f"{cfg.data.batch_size}"
+                    )
+                dp = cfg.train.dp
+            else:
+                dp = len(jax.devices())
+                # the batch shards over 'data': use the largest device count
+                # that divides it (a 4-image debug batch on 8 devices -> dp=4)
+                while cfg.data.batch_size % dp:
+                    dp -= 1
             self.mesh = Mesh(np.asarray(jax.devices()[:dp]).reshape(dp), ("data",))
             self.batch_sharding = NamedSharding(self.mesh, P("data"))
         self.replicated = NamedSharding(self.mesh, P())

@@ -86,3 +86,39 @@ def test_preprocess_pairs_matches_reference(rng, scale):
     assert hr.shape == hr_ref.shape and lr.shape == lr_ref.shape
     np.testing.assert_allclose(np.asarray(hr), np.asarray(hr_ref), atol=1e-6)
     np.testing.assert_allclose(np.asarray(lr), np.asarray(lr_ref), atol=1e-5)
+
+
+def test_k2_tile_pick_respects_vmem_budget():
+    """Regression for the round-2 1080p compile failure: the un-budgeted
+    pick chose tile_h=32, whose (34, 64, 2048) f32 input slab is 17 MB —
+    over the measured 16 MB scoped-VMEM cap.  The pick must stay within
+    budget at the flagship shape (and at any shape)."""
+    from ml_super_resolution_tpu.kernels.residual import (
+        _VMEM_SCRATCH_BUDGET,
+        _pick_tile,
+    )
+
+    # flagship: VDSR head at 1080p -> cpad=64, cout=1, wp=2048
+    th = _pick_tile(1080, 64, 1, 2048)
+    assert th < 32, "tile_h=32 cannot fit the 16 MB scoped-VMEM cap at 1080p"
+    for h, cpad, cout, wp in [
+        (1080, 64, 1, 2048),   # 1080p VDSR head
+        (2160, 64, 1, 4096),   # 4K VDSR head
+        (540, 64, 3, 1024),    # RGB head, 540p
+        (16, 64, 1, 256),      # small eval tiles
+    ]:
+        th = _pick_tile(h, cpad, cout, wp)
+        scratch = ((th + 2) * cpad + 2 * th * cout) * wp * 4
+        assert scratch <= _VMEM_SCRATCH_BUDGET, (h, cpad, cout, wp, th)
+
+
+def test_k2_explicit_tile_h_golden(rng):
+    """tile_h is honored when passed explicitly (used by the AOT probe)."""
+    feats = jnp.asarray(rng.standard_normal((1, 24, 20, 16)).astype(np.float32))
+    skip = jnp.asarray(rng.standard_normal((1, 24, 20, 1)).astype(np.float32))
+    wgt = jnp.asarray(rng.standard_normal((3, 3, 16, 1)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.standard_normal((1,)).astype(np.float32))
+    want = conv_residual_add_reference(feats, skip, wgt, b)
+    for th in (8, 24):
+        got = conv_residual_add(feats, skip, wgt, b, tile_h=th, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)

@@ -302,8 +302,46 @@ def probe_vdsr_fused():
     print(f"  espcn-bf16-xla: {mps_e:.1f} MP/s ({dt_e*1e3:.2f} ms)", flush=True)
 
 
+@section("k2aot")
+def probe_k2_aot():
+    """AOT-compile (chipless, safe) the K2 fused-head program at 1080p.
+
+    Round-2 regression: _pick_tile chose tile_h=32 whose 17 MB input slab
+    exceeded the 16 MB scoped-VMEM cap, breaking the default --pallas VDSR
+    route at the flagship frame size.  Verifies the budget-aware pick (and
+    the th=16 fallback) both compile at (1, 1080, 1920, 64)."""
+    import time as _t
+
+    import jax
+    import jax.numpy as jnp
+
+    from ml_super_resolution_tpu.kernels.residual import (
+        _pick_tile,
+        conv_residual_add,
+    )
+
+    w = jnp.zeros((3, 3, 64, 1), jnp.float32)
+    b = jnp.zeros((1,), jnp.float32)
+    for label, (hh, ww) in [("1080p", (1080, 1920)), ("540p", (540, 960)),
+                            ("4K", (2160, 3840))]:
+        feats = jnp.zeros((1, hh, ww, 64), jnp.float32)
+        skip = jnp.zeros((1, hh, ww, 1), jnp.float32)
+        wp = -(-(ww + 2) // 128) * 128
+        picked = _pick_tile(hh, 64, 1, wp)
+        f = jax.jit(lambda fe, sk, we, bi, _th=picked: conv_residual_add(
+            fe, sk, we, bi, tile_h=_th, interpret=False))
+        t0 = _t.perf_counter()
+        try:
+            f.lower(feats, skip, w, b).compile()
+            print(f"  K2 {label} tile_h={picked}: AOT compile OK "
+                  f"({_t.perf_counter()-t0:.1f}s)", flush=True)
+        except Exception as e:
+            print(f"  K2 {label} tile_h={picked}: REJECTED "
+                  f"({str(e).splitlines()[0][:140]})", flush=True)
+
+
 ALL = [probe_vmem, probe_mosaic, probe_fused2, probe_kapply, probe_xla_bf16,
-       probe_vdsr_fused]
+       probe_vdsr_fused, probe_k2_aot]
 
 if __name__ == "__main__":
     want = set(sys.argv[1:])
