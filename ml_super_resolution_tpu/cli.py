@@ -61,6 +61,12 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--multi-scale", action="store_true",
                    help="VDSR joint x2/x3/x4 training (pre-upscale models)")
     p.add_argument("--pretrain-steps", type=int, default=0, help="srgan MSE phase")
+    p.add_argument("--d-lr-scale", type=float, default=1.0,
+                   help="srgan: D learning-rate multiplier (e.g. 0.1)")
+    p.add_argument("--label-smooth", type=float, default=0.0,
+                   help="srgan: one-sided real-label smoothing (e.g. 0.1)")
+    p.add_argument("--r1-gamma", type=float, default=0.0,
+                   help="srgan: R1 gradient-penalty weight on reals")
     p.add_argument("--g-init", default="",
                    help="srgan: init generator from this srresnet run dir "
                         "(skips the MSE pretrain phase)")
@@ -133,6 +139,9 @@ def _config_from_args(args) -> "ExperimentConfig":
             ema_decay=args.ema,
             resume=not args.no_resume,
             pretrain_steps=args.pretrain_steps,
+            d_lr_scale=getattr(args, "d_lr_scale", 1.0),
+            label_smooth=getattr(args, "label_smooth", 0.0),
+            r1_gamma=getattr(args, "r1_gamma", 0.0),
             eval_every=args.eval_every,
             ckpt_every=args.ckpt_every,
             log_every=args.log_every,

@@ -66,8 +66,15 @@ class SyntheticImages:
     trained on them beat bicubic on held-out synthetic images.
     """
 
-    def __init__(self, n: int = 800, size: int = 256, seed: int = 0):
+    def __init__(self, n: int = 800, size: int = 256, seed: int = 0,
+                 version: int = 2):
+        # version 2 (round 3) adds dense sharp structure — square-wave
+        # gratings, concentric rings, glyph grids — because the v1 content's
+        # high-frequency ceiling (~24.6-24.8 dB at x4) left every model
+        # within +0.4 dB of bicubic: the eval could no longer rank models at
+        # x4.  v1 stays reachable for reproducing round-2 numbers.
         self.n, self.size, self.seed = n, size, seed
+        self.version = version
         self.paths = [f"synthetic://{seed}/{i}" for i in range(n)]
 
     def __len__(self) -> int:
@@ -116,6 +123,51 @@ class SyntheticImages:
                 img[y0 : y0 + thick, x0 : min(s, x0 + ln)] = fill
             else:
                 img[y0 : min(s, y0 + ln), x0 : x0 + thick] = fill
+        if self.version >= 2:
+            # square-wave gratings: sharp-edged periodic bars whose harmonics
+            # exceed the LR Nyquist at x4 — structure a prior can restore but
+            # bicubic must blur.  Placed as rectangular patches.
+            for _ in range(3):
+                th = rng.uniform(0, np.pi)
+                freq = rng.uniform(4, max(5, s * 0.12))
+                phase = rng.uniform(0, 6.28)
+                u = xx * np.cos(th) + yy * np.sin(th)
+                grate = np.sign(np.sin(6.28 * freq * u + phase))
+                x0, y0 = rng.uniform(0.0, 0.6, 2)
+                w_, h_ = rng.uniform(0.2, 0.4, 2)
+                mask = (xx >= x0) & (xx < x0 + w_) & (yy >= y0) & (yy < y0 + h_)
+                amp = rng.uniform(0.15, 0.35)
+                img[mask] = np.clip(
+                    img[mask] + amp * grate[mask][:, None], 0, 1
+                )
+            # concentric rings: radial square wave inside a disk (curved sharp
+            # edges at continuously varying orientation)
+            cx, cy = rng.uniform(0.25, 0.75, 2)
+            rr = np.hypot(xx - cx, yy - cy)
+            freq = rng.uniform(5, max(6, s * 0.08))
+            rings = np.sign(np.sin(6.28 * freq * rr))
+            disk = rr < rng.uniform(0.12, 0.3)
+            amp = rng.uniform(0.15, 0.3)
+            img[disk] = np.clip(img[disk] + amp * rings[disk][:, None], 0, 1)
+            # glyph grid: text-like cells of 2-4 thin strokes each — dense,
+            # high-contrast, orientation-mixed strokes at character scale
+            g = int(rng.integers(10, 16))
+            gx0, gy0 = rng.integers(0, s // 3, 2)
+            gw = int(rng.integers(s // 3, s // 2))
+            gh = int(rng.integers(s // 4, s // 2))
+            ink = rng.uniform(0, 0.25, 3)
+            paper = rng.uniform(0.75, 1.0, 3)
+            img[gy0 : min(s, gy0 + gh), gx0 : min(s, gx0 + gw)] = paper
+            for cy_ in range(gy0, min(s - g, gy0 + gh - g), g):
+                for cx_ in range(gx0, min(s - g, gx0 + gw - g), g):
+                    for _ in range(int(rng.integers(2, 5))):
+                        sx = cx_ + int(rng.integers(1, g - 2))
+                        sy = cy_ + int(rng.integers(1, g - 2))
+                        ln = int(rng.integers(3, g - 1))
+                        if rng.random() < 0.5:
+                            img[sy : sy + 1, sx : min(s, sx + ln)] = ink
+                        else:
+                            img[sy : min(s, sy + ln), sx : sx + 1] = ink
         # one fine checkerboard patch (the classic aliasing probe)
         cs = int(rng.integers(1, 3))
         px, py = rng.integers(0, s // 2, 2)

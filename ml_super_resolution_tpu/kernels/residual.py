@@ -121,6 +121,12 @@ def conv_residual_add(
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    # wp=4096 (4K frames) crashes tpu_compile_helper at ANY tile height
+    # (k2aot probe, round 3) — route ultra-wide frames to the XLA reference
+    # rather than risk a compile crash.  1080p (wp=2048) is AOT-verified.
+    wp = -(-(feats.shape[2] + 2) // 128) * 128
+    if not interpret and wp > 2048:
+        return conv_residual_add_reference(feats, skip, w, b)
     return _conv_residual_add(feats, skip, w, b, interpret, tile_h)
 
 

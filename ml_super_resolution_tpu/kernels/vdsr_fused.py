@@ -1,4 +1,4 @@
-"""Fused multi-layer VDSR: segment-of-convs row-block kernels, bf16 MXU.
+"""Fused multi-layer VDSR: width-chunked segment kernels, bf16 MXU.
 
 VDSR (models/vdsr.py; arXiv:1511.04587) is a 20-deep chain of 3x3 convs at
 HR resolution — the heaviest per-pixel model in the zoo (~1.33 MFLOP/px).
@@ -7,53 +7,51 @@ round trip: ~0.5 GB per layer boundary at 1080p, ~10 GB per frame — the
 XLA path is HBM-bound long before the MXU saturates.  This kernel fuses
 *runs of layers* so activations stay VMEM-resident across layer boundaries:
 
-* **Segments**: the depth-D conv chain is split into segments of <=6 convs.
-  Each segment is one grid-free ``pallas_call`` sweeping the frame in row
-  blocks; only segment boundaries touch HBM (3 boundaries for depth 20
-  instead of 19).
+* **Segments**: the depth-D conv chain is split into segments of <=max_seg
+  convs.  Each segment is one grid-free ``pallas_call`` sweeping the frame
+  in (row-block x width-chunk) tiles; only segment boundaries touch HBM.
+* **Width chunks** (round 3): blocks cover ``wc`` output columns and read a
+  ``wc + 256``-lane slab (128-col halo each side).  This is the lever that
+  unlocks big row tiles: the remote tpu_compile_helper crashes on row-spans
+  >=24 at 2048 lanes but accepts span-40 at 1280 lanes (probe
+  ``vdsrchunk``), and the 16 MB scoped-VMEM cap is per-lane-width.  At
+  tile_h=32/wc=1024 the halo-recompute multiplier drops from round-2's 4x
+  (tile_h=8, full width) to ~2.1x.
 * **Row blocks with halo recompute**: a block of ``tile_h`` output rows
   reads ``tile_h + 2*S`` input rows (S = convs in the segment) and computes
   the full span at every layer; garbage creeps inward one row per layer and
   is exactly absorbed by the halo.  Row/col masks re-zero out-of-image
   positions after every conv, which reproduces SAME zero-padding at frame
-  edges and keeps lane-roll wraparound garbage confined to masked columns
-  (the espcn_fused2 argument).
+  edges and keeps lane-roll wraparound garbage confined to the chunk
+  margins (>= 128 cols >> S creep).
 * **Row-group matmuls** (espcn_fused2 pattern): G output rows x 64 channels
   form one MXU matmul of M = G*64 against a K = (G+2)*64 sublane-aligned
   window of the activation buffer; per dx tap the f32 product is lane-rolled
   into alignment (``out[j] = sum_d mm_d[j+d]``).  K carries (G+2)/3 x the
   taps actually used — the zero-weight MACs are the price of full-occupancy
   MXU shapes and no per-row VPU work.
+* **Chunk-major HBM layouts**: every kernel input/output is chunk-major
+  ((N, C, rows, ...) flattened 2D) so ALL DMAs slice rows only — no 2D DMA,
+  every offset a provable multiple of 8 sublanes.  Overlapped input chunks
+  and guard rows/cols are materialized by cheap XLA passes between
+  segments; the coordinate shift of S columns per segment is undone by one
+  lane-roll of each segment-final conv output, which simultaneously lands
+  the write window at lane offset 0 (alignment by construction).
 * **bf16 operands**: activations are stored bf16 (cast once per layer after
   the mask), weights pre-cast; accumulation is f32 via
   ``preferred_element_type``.  All lane rolls happen on f32 matmul outputs
   (Mosaic on this path lacks bf16 sublane rolls; lane rolls of f32 are the
   measured-safe pattern).
 
-Buffer layout is row-major ``(row * 64, Wp)`` so every group window is a
-64-sublane-aligned contiguous slice, and every DMA offset is a multiple of
-64 sublanes (the attach path faults on non-x8 DMA offsets).  The first conv
-(C=1 -> 64) reads a single-channel f32 slab with input-roll dx variants and
-a 16-row windowed weight matrix; the last conv (64 -> C=1) fuses the global
-residual add (bicubic skip) into its epilogue — one HBM write for the
-frame.  Segment boundaries (zero-pad + column shift) are XLA fusions.
-
 Golden-tested against the flax ``VDSR.apply`` in tests/test_vdsr_fused.py
-(interpret mode on CPU, exact to ~1e-5 with ``bf16=False``); opt-in under
-``sr upscale --pallas`` via SR_VDSR_FUSED=1 (kernels/apply.py).
+(interpret mode on CPU, exact to ~1e-5 with ``bf16=False``, incl. chunked
+configs); opt-in under ``sr upscale --pallas`` via SR_VDSR_FUSED=1
+(kernels/apply.py).
 
-On-device status (v5e attach path, measured 2026-08-17): the default
-config (tile_h=8, group=2, max_seg=4) compiles in ~45 s, passes parity
-(max err 6e-2, bf16 operands, depth 20 @ 1080p inputs) and runs 1080p x4
-at 36.8 MP/s — exactly its issued-FLOP roofline (56.4 ms = 4x the 14 ms
-bf16 ideal; the 4x = 3x row-halo recompute at tile_h=8 x 1.33x K-window
-waste at group=2), i.e. the kernel executes at full MXU efficiency but
-the small tile overwhelms it.  Larger tiles are blocked by two measured
-compiler limits: scratch is capped at 16 MB scoped VMEM (tile_h=48/seg=6
-needs 33.6 MB — graceful OOM diagnostic), and tile_h=16 at wp=2048
-crashes the remote tpu_compile_helper regardless of group/seg/compact.
-Round-3 lever: block over width (wp-chunking) so tile_h can grow inside
-the 16 MB budget.
+Round-2 on-device baseline (v5e attach path): tile_h=8 full-width compiles
+in ~45 s, parity 6e-2 bf16, 36.8 MP/s @1080p x4 — exactly its issued-FLOP
+roofline (4x redundant FLOPs).  Round-3 chunked target: tile_h=32/wc=1024
+=> ~2.1x multiplier, projected ~60+ MP/s vs XLA-bf16's 42.6.
 """
 
 from __future__ import annotations
@@ -70,6 +68,7 @@ __all__ = ["vdsr_fused_forward", "extract_vdsr_weights"]
 _G1 = 8  # first-conv (1->64) row group
 _GL = 8  # last-conv (64->1) row group
 _MAX_SEG = 6  # convs per segment (VMEM- and halo-bounded)
+_M = 128  # chunk column halo (lane-aligned margin each side)
 
 
 def extract_vdsr_weights(params: dict) -> list[tuple[jnp.ndarray, jnp.ndarray]]:
@@ -148,8 +147,8 @@ def _last_weights(w, b, cdt):
 
 
 def _seg_kernel(*refs, cfg):
-    (n, nb, tb, h, width, wp, feat, seg, has_first, has_last, g, spanp,
-     slabp, stride_in, stride_skip, cdt, compact) = cfg
+    (n, nb, ncw, tb, h, width, wc, wcin, feat, seg, has_first, has_last, g,
+     spanp, slabp, stride_in, stride_skip, hp, cdt, compact) = cfg
     n_mid = seg - int(has_first) - int(has_last)
 
     it = iter(refs)
@@ -164,15 +163,21 @@ def _seg_kernel(*refs, cfg):
     out_ref = next(it)
     bufs = [next(it), next(it)]
     slab = next(it) if has_first else None
+    gbuf = next(it) if not has_last else None
     if has_last:
         skipv, outv = next(it), next(it)
     sem_in, sem_out = next(it), next(it)
     sem_skip = next(it) if has_last else None
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, wp), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, wcin), 1)
+    # the segment-final roll undoes the seg-column shift AND lands the
+    # output window at lane offset 0: rolled[s'] = v[s' + _M - seg]
+    rollback = (wcin + seg - _M) % wcin
 
-    def col_ok(off):
-        return jnp.logical_and(col >= off, col < off + width)
+    def col_ok(cb, li):
+        # slab col s holds global col g = cb + s - _M + li after li convs
+        lo = _M - li - cb
+        return jnp.logical_and(col >= lo, col < lo + width)
 
     def row_ok(base, gb, rows, chan):
         m = jax.lax.broadcasted_iota(jnp.int32, (rows * chan, 1), 0)
@@ -180,32 +185,34 @@ def _seg_kernel(*refs, cfg):
         return jnp.logical_and(t >= 0, t < h)
 
     def step(k, _):
-        ni = k // nb
+        ni = k // (ncw * nb)
+        ci = (k // nb) % ncw
         hi = k % nb
         base = hi * tb
+        cb = ci * wc
         li = 0  # convs consumed so far in this segment
         cur = 0  # ping-pong index holding the segment's current activations
 
         if has_first:
             cp = pltpu.make_async_copy(
-                in_ref.at[pl.ds(ni * stride_in + base, slabp)],
+                in_ref.at[pl.ds((ni * ncw + ci) * stride_in + base, slabp)],
                 slab.at[0:slabp], sem_in,
             )
             cp.start()
             cp.wait()
             sl_all = slab[:, :]
             slab3 = [
-                sl_all if d == 0 else pltpu.roll(sl_all, wp - d, axis=1)
+                sl_all if d == 0 else pltpu.roll(sl_all, wcin - d, axis=1)
                 for d in range(3)
             ]
-            okc = col_ok(seg - 1)
+            okc = col_ok(cb, 1)
             for gi in range(spanp // _G1):
                 panel = jnp.concatenate(
                     [s3[_G1 * gi : _G1 * gi + 16, :] for s3 in slab3], axis=0
-                )  # (48, wp) f32, 8-aligned 16-row pieces
+                )  # (48, wcin) f32, 8-aligned 16-row pieces
                 mm = jnp.dot(
                     w1[:], panel.astype(cdt), preferred_element_type=jnp.float32
-                )  # (G1*feat, wp)
+                )  # (G1*feat, wcin)
                 v = jax.nn.relu(mm + b1[:])
                 ok = jnp.logical_and(row_ok(base, _G1 * gi, _G1, feat), okc)
                 bufs[0][pl.ds((1 + _G1 * gi) * feat, _G1 * feat), :] = jnp.where(
@@ -214,50 +221,72 @@ def _seg_kernel(*refs, cfg):
             li, cur = 1, 0
         else:
             cp = pltpu.make_async_copy(
-                in_ref.at[pl.ds(ni * stride_in + (8 + base - seg) * feat,
-                                spanp * feat)],
+                in_ref.at[pl.ds(
+                    ((ni * ncw + ci) * stride_in + 8 + base - seg) * feat,
+                    spanp * feat)],
                 bufs[0].at[pl.ds(feat, spanp * feat)], sem_in,
             )
             cp.start()
             cp.wait()
 
-        for wd0, wd1, wd2, bt in mids:
+        for mi, (wd0, wd1, wd2, bt) in enumerate(mids):
             wd = (wd0, wd1, wd2)
             src, dst = bufs[cur], bufs[1 - cur]
-            okc = col_ok(seg - li - 1)
+            okc = col_ok(cb, li + 1)
+            final = (not has_last) and mi == n_mid - 1
 
-            def group(gb, *, wd=wd, bt=bt, src=src, dst=dst, okc=okc):
+            def group(gb, *, wd=wd, bt=bt, src=src, dst=dst, okc=okc,
+                      final=final):
                 sl = src[pl.ds(gb * feat, (g + 2) * feat), :]
                 acc = None
                 for d in range(3):
                     mm = jnp.dot(
                         wd[d][:], sl, preferred_element_type=jnp.float32
-                    )  # (g*feat, wp)
+                    )  # (g*feat, wcin)
                     if d:  # out[j] = sum_d mm_d[j + d]
-                        mm = pltpu.roll(mm, wp - d, axis=1)
+                        mm = pltpu.roll(mm, wcin - d, axis=1)
                     acc = mm if acc is None else acc + mm
                 v = jax.nn.relu(acc + bt[:])
                 ok = jnp.logical_and(row_ok(base, gb, g, feat), okc)
-                dst[pl.ds((1 + gb) * feat, g * feat), :] = jnp.where(
-                    ok, v, 0.0
-                ).astype(cdt)
+                v = jnp.where(ok, v, 0.0)
+                if not final:
+                    dst[pl.ds((1 + gb) * feat, g * feat), :] = v.astype(cdt)
+                    return
+                # segment-final conv: roll the seg-shift away (window lands
+                # at lane offset 0), slice the chunk's wc columns, DMA the
+                # group's rows straight to the chunk-major HBM output
+                rolled = pltpu.roll(v, rollback, axis=1)
+                gbuf[:, :] = rolled[:, 0:wc].astype(cdt)
+                cpo = pltpu.make_async_copy(
+                    gbuf,
+                    out_ref.at[pl.ds(
+                        ((ni * ncw + ci) * hp + base + gb - seg) * feat,
+                        g * feat)],
+                    sem_out,
+                )
+                cpo.start()
+                cpo.wait()
 
+            # the segment-final conv only needs the interior output rows
+            # [seg, seg+tb); earlier convs compute the full (shrinking) span
+            g0, g1 = (seg // g, (seg + tb) // g) if final else (0, spanp // g)
             if compact:
                 # fori_loop over groups with dynamic (x feat sublanes,
                 # alignment-provable) offsets: ~(spanp/g)x smaller Mosaic
-                # program — the compile-time lever (NEXT.md round-3 #1a).
+                # program — the compile-time lever.
                 jax.lax.fori_loop(
-                    0, spanp // g, lambda gi, _: (group(gi * g), 0)[1], 0
+                    g0, g1, lambda gi, _: (group(gi * g), 0)[1], 0
                 )
             else:
-                for gi in range(spanp // g):
+                for gi in range(g0, g1):
                     group(g * gi)
             li += 1
             cur = 1 - cur
 
         if has_last:
             cs = pltpu.make_async_copy(
-                skip_ref.at[pl.ds(ni * stride_skip + base, tb)], skipv, sem_skip
+                skip_ref.at[pl.ds((ni * ncw + ci) * stride_skip + base, tb)],
+                skipv, sem_skip,
             )
             cs.start()
             cs.wait()
@@ -269,35 +298,31 @@ def _seg_kernel(*refs, cfg):
                 for d in range(3):
                     mm = jnp.dot(
                         wl[d][:], sl, preferred_element_type=jnp.float32
-                    )  # (GL, wp)
+                    )  # (GL, wcin)
                     if d:
-                        mm = pltpu.roll(mm, wp - d, axis=1)
+                        mm = pltpu.roll(mm, wcin - d, axis=1)
                     acc = mm if acc is None else acc + mm
+                rolled = pltpu.roll(acc + bl[:], rollback, axis=1)
                 outv[pl.ds(_GL * gi, _GL), :] = (
-                    acc + bl[:] + skipv[pl.ds(_GL * gi, _GL), :]
+                    rolled[:, 0:wc] + skipv[pl.ds(_GL * gi, _GL), :]
                 )
             cpo = pltpu.make_async_copy(
-                outv, out_ref.at[pl.ds((ni * nb + hi) * tb, tb)], sem_out
-            )
-        else:
-            cpo = pltpu.make_async_copy(
-                bufs[cur].at[pl.ds((1 + seg) * feat, tb * feat)],
-                out_ref.at[pl.ds((ni * nb + hi) * tb * feat, tb * feat)],
+                outv,
+                out_ref.at[pl.ds((ni * ncw + ci) * stride_skip + base, tb)],
                 sem_out,
             )
-        cpo.start()
-        cpo.wait()
+            cpo.start()
+            cpo.wait()
         return 0
 
-    # zero guard rows (and, for the first segment, the whole first buffer's
-    # top/bottom guards) once; interior rows are fully rewritten every block.
+    # zero guard rows once; interior rows are fully rewritten every block.
     for b_ in bufs:
         rows = b_.shape[0]
-        b_[0:feat, :] = jnp.zeros((feat, wp), cdt)
-        b_[rows - feat : rows, :] = jnp.zeros((feat, wp), cdt)
+        b_[0:feat, :] = jnp.zeros((feat, wcin), cdt)
+        b_[rows - feat : rows, :] = jnp.zeros((feat, wcin), cdt)
     if has_first:
-        slab[:, :] = jnp.zeros((slabp, wp), jnp.float32)
-    jax.lax.fori_loop(0, n * nb, step, 0)
+        slab[:, :] = jnp.zeros((slabp, wcin), jnp.float32)
+    jax.lax.fori_loop(0, n * ncw * nb, step, 0)
 
 
 # --------------------------------------------------------------------------
@@ -313,6 +338,7 @@ def vdsr_fused_forward(
     bf16: bool = True,
     compact: bool = False,
     max_seg: int = 4,
+    wc: int | None = None,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Fused VDSR forward.  x: (N, H, W[, 1]) pre-upscaled Y -> (N, H, W, 1).
@@ -321,7 +347,10 @@ def vdsr_fused_forward(
     (~1e-2 absolute error — PSNR-irrelevant); ``bf16=False`` matches the
     flax apply to ~1e-5.  ``group`` is the MXU row-group G (2 or 4): the
     assembled K window wastes (G+2)/3 x FLOPs, so G=2 minimizes MACs while
-    G=4 maximizes matmul size.
+    G=4 maximizes matmul size.  ``wc`` is the width-chunk in output columns
+    (multiple of 128; None = whole width in one chunk) — chunking keeps the
+    activation slab narrow so ``tile_h`` can grow inside the 16 MB
+    scoped-VMEM cap.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -329,14 +358,18 @@ def vdsr_fused_forward(
     assert ws[0][0].shape[2] == 1 and ws[-1][0].shape[3] == 1, (
         "fused VDSR supports channels=1 (the Y protocol path)"
     )
-    return _vdsr_fused(tuple(ws), x, tile_h, group, bf16, compact, max_seg, interpret)
+    assert len(ws) >= 3 and max_seg >= 2
+    return _vdsr_fused(tuple(ws), x, tile_h, group, bf16, compact, max_seg,
+                       wc, interpret)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tile_h", "group", "bf16", "compact", "max_seg", "interpret"),
+    static_argnames=(
+        "tile_h", "group", "bf16", "compact", "max_seg", "wc", "interpret"
+    ),
 )
-def _vdsr_fused(ws, x, tile_h, group, bf16, compact, max_seg, interpret):
+def _vdsr_fused(ws, x, tile_h, group, bf16, compact, max_seg, wc, interpret):
     if x.ndim == 4:
         x = x[..., 0]
     x = x.astype(jnp.float32)
@@ -345,22 +378,38 @@ def _vdsr_fused(ws, x, tile_h, group, bf16, compact, max_seg, interpret):
     depth = len(ws)
     cdt = jnp.bfloat16 if bf16 else jnp.float32
     sizes = _segment_sizes(depth, max_seg)
-    smax = max(sizes)
 
     tb = tile_h if tile_h is not None else 8
     tb = min(tb, _align(h, 8))
     hp = _align(h, tb)
     nb = hp // tb
-    wp = _align(width + 2 * smax + 2, 128)
     hps = _align(hp, 8)
+    if wc is None or wc >= _align(width, 128):
+        wc = _align(width, 128)
+    assert wc % 128 == 0
+    ncw = -(-width // wc)
+    wcin = wc + 2 * _M
+    cw = ncw * wc  # covered output columns (>= width; excess masked to 0)
+    # non-last segments end in a group-DMA'd mid conv whose interior window
+    # [seg, seg+tb) must align to the group grid
+    for seg in sizes[:-1]:
+        assert seg % group == 0, (seg, group)
+    assert tb % group == 0 and tb % _GL == 0
 
-    # skip planar for the fused residual epilogue: image rows at offset 0.
-    sp = jnp.zeros((n, hps, wp), jnp.float32)
-    sp = sp.at[:, :h, :width].set(x)
-    sp = sp.reshape(n * hps, wp)
+    def chunk_overlapped(full):
+        """(..., _M + cw + _M) -> (n, ncw, ..., wcin) overlapped chunks."""
+        return jnp.stack(
+            [full[..., ci * wc : ci * wc + wcin] for ci in range(ncw)], axis=1
+        )
 
-    cur = None  # inter-segment activations, (n*hp*feat, wp) cdt, col off 0
-    ci = 0
+    # skip, chunk-major non-overlapped: (n*ncw*hps, wc) f32
+    spad = jnp.zeros((n, hps, cw), jnp.float32)
+    spad = spad.at[:, :h, :width].set(x)
+    sp = spad.reshape(n, hps, ncw, wc).transpose(0, 2, 1, 3)
+    sp = sp.reshape(n * ncw * hps, wc)
+
+    cur = None  # inter-segment activations: (n*ncw*hp*feat, wc) cdt
+    ci0 = 0
     for si, seg in enumerate(sizes):
         has_first = si == 0
         has_last = si == len(sizes) - 1
@@ -368,53 +417,58 @@ def _vdsr_fused(ws, x, tile_h, group, bf16, compact, max_seg, interpret):
         spanp = _align(tb + 2 * seg, 8)
         slabp = _align(spanp + 2, 8)
 
-        ins, wrefs, scratch = [], [], []
+        ins = []
         if has_first:
             stride_in = _align(seg + 1 + hp + seg + 8, 8)
-            xp = jnp.zeros((n, stride_in, wp), jnp.float32)
-            xp = xp.at[:, seg + 1 : seg + 1 + h, seg : seg + width].set(x)
-            ins.append(xp.reshape(n * stride_in, wp))
+            xp = jnp.zeros((n, stride_in, _M + cw + _M), jnp.float32)
+            xp = xp.at[:, seg + 1 : seg + 1 + h, _M : _M + width].set(x)
+            xp = chunk_overlapped(xp)  # (n, ncw, stride_in, wcin)
+            ins.append(xp.reshape(n * ncw * stride_in, wcin))
         else:
-            stride_in = (8 + hp + 16) * feat
-            xp = jnp.zeros((n, 8 + hp + 16, feat, wp), cdt)
-            xp = xp.at[:, 8 : 8 + hp, :, seg : seg + width].set(
-                cur.reshape(n, hp, feat, wp)[..., :width]
-            )
-            ins.append(xp.reshape(n * stride_in, wp))
+            stride_in = 8 + hp + 16
+            full = cur.reshape(n, ncw, hp, feat, wc)
+            full = full.transpose(0, 2, 3, 1, 4).reshape(n, hp, feat, cw)
+            xp = jnp.zeros((n, stride_in, feat, _M + cw + _M), cdt)
+            xp = xp.at[:, 8 : 8 + hp, :, _M : _M + cw].set(full)
+            xp = chunk_overlapped(xp)  # (n, ncw, stride_in, feat, wcin)
+            ins.append(xp.reshape(n * ncw * stride_in * feat, wcin))
         if has_last:
             ins.append(sp)
 
         args = []
         if has_first:
-            w1, b1 = _first_weights(*ws[ci], cdt)
+            w1, b1 = _first_weights(*ws[ci0], cdt)
             args += [w1, b1]
         for li in range(n_mid):
-            mats, bt = _mid_weights(*ws[ci + int(has_first) + li], group, cdt)
+            mats, bt = _mid_weights(*ws[ci0 + int(has_first) + li], group, cdt)
             args += [*mats, bt]
         if has_last:
-            wl, bl = _last_weights(*ws[ci + seg - 1], cdt)
+            wl, bl = _last_weights(*ws[ci0 + seg - 1], cdt)
             args += [*wl, bl]
 
         scratch = [
-            pltpu.VMEM(((spanp + 2) * feat, wp), cdt),
-            pltpu.VMEM(((spanp + 2) * feat, wp), cdt),
+            pltpu.VMEM(((spanp + 2) * feat, wcin), cdt),
+            pltpu.VMEM(((spanp + 2) * feat, wcin), cdt),
         ]
         if has_first:
-            scratch.append(pltpu.VMEM((slabp, wp), jnp.float32))
+            scratch.append(pltpu.VMEM((slabp, wcin), jnp.float32))
+        if not has_last:
+            scratch.append(pltpu.VMEM((group * feat, wc), cdt))  # gbuf
         if has_last:
-            scratch.append(pltpu.VMEM((tb, wp), jnp.float32))
-            scratch.append(pltpu.VMEM((tb, wp), jnp.float32))
+            scratch.append(pltpu.VMEM((tb, wc), jnp.float32))  # skipv
+            scratch.append(pltpu.VMEM((tb, wc), jnp.float32))  # outv
         scratch += [pltpu.SemaphoreType.DMA(()), pltpu.SemaphoreType.DMA(())]
         if has_last:
             scratch.append(pltpu.SemaphoreType.DMA(()))
 
         if has_last:
-            out_shape = jax.ShapeDtypeStruct((n * hp, wp), jnp.float32)
+            out_shape = jax.ShapeDtypeStruct((n * ncw * hps, wc), jnp.float32)
         else:
-            out_shape = jax.ShapeDtypeStruct((n * hp * feat, wp), cdt)
+            out_shape = jax.ShapeDtypeStruct((n * ncw * hp * feat, wc), cdt)
 
-        cfg = (n, nb, tb, h, width, wp, feat, seg, has_first, has_last,
-               group, spanp, slabp, stride_in, hps, cdt, compact)
+        cfg = (n, nb, ncw, tb, h, width, wc, wcin, feat, seg, has_first,
+               has_last, group, spanp, slabp, stride_in, hps, hp, cdt,
+               compact)
         kernel = functools.partial(_seg_kernel, cfg=cfg)
         cur = pl.pallas_call(
             kernel,
@@ -425,7 +479,8 @@ def _vdsr_fused(ws, x, tile_h, group, bf16, compact, max_seg, interpret):
             scratch_shapes=scratch,
             interpret=interpret,
         )(*ins, *args)
-        ci += seg
+        ci0 += seg
 
-    out = cur.reshape(n, hp, wp)[:, :h, :width]
+    out = cur.reshape(n, ncw, hps, wc).transpose(0, 2, 1, 3)
+    out = out.reshape(n, hps, cw)[:, :h, :width]
     return out[..., None].astype(jnp.float32)

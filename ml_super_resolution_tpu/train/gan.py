@@ -104,8 +104,15 @@ class GANTrainer:
             self.feature_net = FeatureNet()
             self.feature_params = load_feature_net(feature_net)
 
+        import dataclasses
+
         self.g_tx = make_optimizer(cfg.train)
-        self.d_tx = make_optimizer(cfg.train)
+        # D gets its own (usually lower) learning rate: the SRGAN-D easily
+        # overpowers G on this data — see TrainConfig.d_lr_scale.
+        self.d_tx = make_optimizer(dataclasses.replace(
+            cfg.train,
+            learning_rate=cfg.train.learning_rate * cfg.train.d_lr_scale,
+        ))
 
         if jax.process_count() > 1:
             from ml_super_resolution_tpu.parallel.distributed import (
@@ -278,7 +285,24 @@ class GANTrainer:
             # batch statistics and skew the running stats (SRGAN recipe).
             real_logits, mid_stats = self._d_apply(d_params, d_stats, hr_b, train=True)
             fake_logits, new_stats = self._d_apply(d_params, mid_stats, fake, train=True)
-            loss = _bce_logits(real_logits, 1.0) + _bce_logits(fake_logits, 0.0)
+            # one-sided label smoothing: real target 1-eps keeps D's logits
+            # bounded so its gradient signal to G never vanishes
+            loss = (
+                _bce_logits(real_logits, 1.0 - c.train.label_smooth)
+                + _bce_logits(fake_logits, 0.0)
+            )
+            if c.train.r1_gamma > 0.0:
+                # R1 gradient penalty on reals (Mescheder et al. 2018):
+                # gamma/2 * E||dD/dx||^2, computed with running BN stats
+                def _sum_real(x):
+                    lg, _ = self._d_apply(d_params, d_stats, x, train=False)
+                    return jnp.sum(lg.astype(jnp.float32))
+
+                gr = jax.grad(_sum_real)(hr_b).astype(jnp.float32)
+                r1 = jnp.mean(
+                    jnp.sum(jnp.square(gr.reshape(gr.shape[0], -1)), axis=1)
+                )
+                loss = loss + 0.5 * c.train.r1_gamma * r1
             return loss, (new_stats, real_logits, fake_logits)
 
         (d_loss, (d_stats, real_lg, fake_lg)), d_grads = jax.value_and_grad(

@@ -436,6 +436,14 @@ class Trainer:
                 since_log = 0
             if eval_images and crossed(step, prev, c.train.eval_every):
                 ev = self.evaluate(state, eval_images)
+                # joint multi-scale training (VDSR): log EVERY trained scale
+                # per eval so per-scale convergence is visible in the curve,
+                # not just in a final `sr eval --scales` snapshot
+                for s_ in c.data.scales or ():
+                    if s_ != c.model.scale:
+                        es = self.evaluate(state, eval_images, scale=s_)
+                        ev[f"psnr_x{s_}"] = es["psnr"]
+                        ev[f"ssim_x{s_}"] = es["ssim"]
                 self.logger.log("eval", step, **ev)
                 best_psnr = self._maybe_save_best(step, state, ev, best_psnr)
             if self.ckpt and crossed(step, prev, c.train.ckpt_every):

@@ -98,6 +98,14 @@ class TrainConfig:
     pretrain_steps: int = 0
     adversarial_weight: float = 1e-3
     perceptual_weight: float = 1.0 / 12.75**2
+    # D/G balance controls (round-3: the unregularized D saturated to
+    # accuracy 1.0/1.0 within 600 steps, collapsing the adversarial signal).
+    # d_lr_scale < 1 slows D; label_smooth > 0 is one-sided smoothing of the
+    # D's real target (1 -> 1-label_smooth); r1_gamma > 0 adds the R1
+    # gradient penalty gamma/2*E||dD/dx(real)||^2 (Mescheder et al. 2018).
+    d_lr_scale: float = 1.0
+    label_smooth: float = 0.0
+    r1_gamma: float = 0.0
     debug_nans: bool = False
 
 

@@ -67,3 +67,28 @@ def test_vdsr_fused_compact_group_loop_matches():
         vdsr_fused_forward(params, x, bf16=False, tile_h=16, compact=True)
     )
     np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+@pytest.mark.parametrize(
+    "depth,h,w,kw",
+    [
+        (8, 24, 200, dict(tile_h=16, wc=128)),           # 2 width chunks
+        (14, 37, 300, dict(tile_h=16, wc=128)),          # 3 chunks, ragged W
+        (20, 40, 300, dict(tile_h=32, wc=128, compact=True)),  # flagship shape
+    ],
+)
+def test_vdsr_fused_width_chunked_matches(depth, h, w, kw):
+    """Round-3 width chunking: wc-column chunks with 128-lane halos must be
+    bitwise-equivalent in structure (and f32-equal in value) to whole-width;
+    covers the chunk-major boundary glue and the segment-final roll."""
+    params, x, ref = _make(depth, h, w)
+    out = np.asarray(vdsr_fused_forward(params, x, bf16=False, **kw))
+    np.testing.assert_allclose(out, ref, atol=5e-5)
+
+
+def test_vdsr_fused_chunked_bf16_batch2():
+    params, x, ref = _make(20, 29, 260, batch=2, seed=3)
+    loose = np.asarray(
+        vdsr_fused_forward(params, x, bf16=True, tile_h=16, wc=128)
+    )
+    assert float(np.abs(loose - ref).max()) < 5e-2

@@ -236,37 +236,56 @@ def probe_vdsr_fused():
     from ml_super_resolution_tpu.models import build_model
     from ml_super_resolution_tpu.utils.config import ModelConfig
 
+    import sys as _sys
+
     m = build_model(ModelConfig(name="vdsr", scale=4, channels=1))
     x = jnp.asarray(
         np.random.default_rng(0).random((1, 1080, 1920, 1)), jnp.float32
     )
     v = m.init(jax.random.key(0), x[:1], train=False)
+    ref = None
 
-    fused = jax.jit(lambda p, inp: vdsr_fused_forward(p, inp, interpret=False))
-    t0 = _t.perf_counter()
-    try:
-        fused.lower(v["params"], x).compile()
-    except Exception as e:
-        print(f"  AOT REJECTED ({str(e).splitlines()[0][:160]})", flush=True)
-        return
-    print(f"  AOT compile (1080p, 4 segments): {_t.perf_counter()-t0:.1f}s OK",
-          flush=True)
+    # configs: round-3 width-chunked tiles (the 4x-waste killer) first, the
+    # round-2 full-width tb=8 as the known-good fallback
+    configs = [dict(tile_h=32, wc=1024, compact=True),
+               dict(tile_h=32, wc=1024),
+               dict(tile_h=16, wc=1024, compact=True),
+               dict(tile_h=8, wc=None)]
+    if len(_sys.argv) > 2:  # e.g. `vdsrfused 32,1024,1` = tb,wc,compact
+        tb_, wc_, co_ = _sys.argv[2].split(",")
+        configs = [dict(tile_h=int(tb_), wc=(int(wc_) or None),
+                        compact=co_ == "1")]
 
-    ref = np.asarray(m.apply(v, x, train=False))
-    out = np.asarray(fused(v["params"], x))
-    err = float(np.abs(out - ref).max())
-    print(f"  vdsr-fused bf16 on-device max err vs flax f32: {err:.2e}",
-          flush=True)
-    if err > 0.1:
-        print("  PARITY FAIL — skipping timing", flush=True)
-        return
-
-    dt = bench._iter_time(
-        lambda p, inp: vdsr_fused_forward(p, inp, interpret=False),
-        v["params"], x, iters=4,
-    )
-    print(f"  vdsr-fused-bf16: {1080*1920/1e6/dt:.1f} MP/s ({dt*1e3:.2f} ms)",
-          flush=True)
+    for kw in configs:
+        label = f"tb{kw['tile_h']}-wc{kw.get('wc')}" + (
+            "-compact" if kw.get("compact") else "")
+        fused = jax.jit(lambda p, inp, _kw=kw: vdsr_fused_forward(
+            p, inp, interpret=False, **_kw))
+        t0 = _t.perf_counter()
+        try:
+            fused.lower(v["params"], x).compile()
+        except Exception as e:
+            print(f"  {label}: AOT REJECTED "
+                  f"({str(e).splitlines()[0][:150]})", flush=True)
+            continue
+        print(f"  {label}: AOT compile {_t.perf_counter()-t0:.1f}s OK",
+              flush=True)
+        if ref is None:
+            ref = np.asarray(m.apply(v, x, train=False))
+        out = np.asarray(fused(v["params"], x))
+        err = float(np.abs(out - ref).max())
+        print(f"  {label}: on-device max err vs flax f32: {err:.2e}",
+              flush=True)
+        if err > 0.1:
+            print(f"  {label}: PARITY FAIL — skipping timing", flush=True)
+            continue
+        dt = bench._iter_time(
+            lambda p, inp, _kw=kw: vdsr_fused_forward(
+                p, inp, interpret=False, **_kw),
+            v["params"], x, iters=4,
+        )
+        print(f"  {label}: {1080*1920/1e6/dt:.1f} MP/s ({dt*1e3:.2f} ms)",
+              flush=True)
     for label, ov in [("vdsr-bf16-xla", {"dtype": jnp.bfloat16}),
                       ("vdsr-f32-xla", None)]:
         mps, dtx = bench.bench_model_mps(
@@ -340,8 +359,249 @@ def probe_k2_aot():
                   f"({str(e).splitlines()[0][:140]})", flush=True)
 
 
+@section("srresprof")
+def probe_srresnet_profile():
+    """Where do SRResNet's ~49 ms/frame go?  Component-sliced timings.
+
+    VERDICT r2 weak #4: 42 MP/s bf16 at batch=1 is ~3-4% MFU with no
+    breakdown.  Times the full net at batch 1/4/8 plus isolated pieces:
+    trunk (head+16 blocks+skip), upsample stages, 9x9 tail at 1080p, and
+    the pre-shuffle tail reformulation (5x5, 256->12ch at 540p) that
+    trades the N=3-lane-starved HR matmul for an N=12 LR one.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    import bench
+
+    def t(label, fn, params, x, iters=8, mp=None):
+        try:
+            dt = bench._iter_time(fn, params, x, iters=iters)
+            extra = f", {mp/dt:.1f} MP/s" if mp else ""
+            print(f"  {label}: {dt*1e3:.2f} ms{extra}", flush=True)
+            return dt
+        except Exception as e:
+            print(f"  {label}: FAILED ({str(e).splitlines()[0][:120]})",
+                  flush=True)
+            return None
+
+    # full net, batch scaling
+    for nb in (1, 4, 8):
+        try:
+            mps, dt = bench.bench_model_mps(
+                "srresnet", 4, (1080, 1920), nb, 3,
+                overrides={"dtype": jnp.bfloat16}, iters=6)
+            print(f"  full-bf16 b{nb}: {mps:.1f} MP/s ({dt*1e3:.2f} ms)",
+                  flush=True)
+        except Exception as e:
+            print(f"  full-bf16 b{nb}: FAILED ({e})", flush=True)
+
+    # isolated pieces (random weights; timing only)
+    rng = jax.random.key(0)
+    bf = jnp.bfloat16
+    h, w = 270, 480
+
+    def conv(x, wgt):
+        return jax.lax.conv_general_dilated(
+            x, wgt, (1, 1), "SAME",
+            dimension_numbers=jax.lax.conv_dimension_numbers(
+                x.shape, wgt.shape, ("NHWC", "HWIO", "NHWC")))
+
+    k33 = jax.random.normal(rng, (3, 3, 64, 64), bf) * 0.05
+    x64 = jax.random.normal(rng, (1, h, w, 64), bf)
+
+    def trunk(wgt, x):
+        def body(i, y):
+            return y + conv(y, wgt)  # stand-in for a res block conv pair
+        return jax.lax.fori_loop(0, 32, body, x)
+
+    t("32x conv3x3 64->64 @270x480 bf16", trunk, k33, x64)
+
+    k_up1 = jax.random.normal(rng, (3, 3, 64, 256), bf) * 0.05
+    t("conv3x3 64->256 @270x480 bf16", lambda wg, x: conv(x, wg), k_up1, x64)
+    x540 = jax.random.normal(rng, (1, 540, 960, 64), bf)
+    t("conv3x3 64->256 @540x960 bf16", lambda wg, x: conv(x, wg), k_up1, x540)
+
+    from ml_super_resolution_tpu.ops.pixel_shuffle import pixel_shuffle
+    k_ps = jax.random.normal(rng, (3, 3, 64, 256), bf) * 0.05
+
+    def upstage(wg, x):
+        return pixel_shuffle(conv(x, wg), 2)
+
+    t("upstage(conv+PS) @270x480 bf16", upstage, k_ps, x64)
+    t("upstage(conv+PS) @540x960 bf16", upstage, k_ps, x540)
+
+    x1080 = jax.random.normal(rng, (1, 1080, 1920, 64), bf)
+    k_tail = jax.random.normal(rng, (9, 9, 64, 3), bf) * 0.05
+    t("tail conv9x9 64->3 @1080p bf16", lambda wg, x: conv(x, wg), k_tail,
+      x1080)
+
+    # pre-shuffle tail: same FLOPs computed at 540p with N=12
+    x540_256 = jax.random.normal(rng, (1, 540, 960, 256), bf)
+    k_tail_ls = jax.random.normal(rng, (5, 5, 256, 12), bf) * 0.05
+
+    def tail_ls(wg, x):
+        return pixel_shuffle(conv(x, wg), 2)
+
+    t("tail-preshuffle conv5x5 256->12 @540p bf16", tail_ls, k_tail_ls,
+      x540_256)
+
+    k_head = jax.random.normal(rng, (9, 9, 3, 64), bf) * 0.05
+    x3 = jax.random.normal(rng, (1, h, w, 3), bf)
+    t("head conv9x9 3->64 @270x480 bf16", lambda wg, x: conv(x, wg), k_head,
+      x3)
+
+    # batch-8 variants of the dominant pieces
+    x64b8 = jax.random.normal(rng, (8, h, w, 64), bf)
+    t("32x conv3x3 64->64 @270x480 b8 bf16", trunk, k33, x64b8)
+    x1080b8 = jax.random.normal(rng, (8, 1080, 1920, 64), bf)
+    t("tail conv9x9 64->3 @1080p b8 bf16", lambda wg, x: conv(x, wg), k_tail,
+      x1080b8, iters=4)
+
+
+@section("dma2d")
+def probe_dma2d():
+    """Can a Mosaic DMA slice BOTH dims (row window x 128-aligned col
+    window) of an ANY-space ref?  Decides the fused-VDSR width-chunking
+    design: 2D DMA -> chunk in-kernel (plan A); unsupported -> XLA
+    materializes overlapped chunks (plan B)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(x_ref, o_ref, v, sem, so):
+        def step(k, _):
+            cp = pltpu.make_async_copy(
+                x_ref.at[pl.ds(k * 64, 64), pl.ds(1024, 1280)], v, sem)
+            cp.start()
+            cp.wait()
+            cpo = pltpu.make_async_copy(
+                v, o_ref.at[pl.ds(k * 64, 64), pl.ds(0, 1280)], so)
+            cpo.start()
+            cpo.wait()
+            return 0
+
+        jax.lax.fori_loop(0, 4, step, 0)
+
+    @jax.jit
+    def f(x):
+        return pl.pallas_call(
+            kernel,
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            out_shape=jax.ShapeDtypeStruct((256, 1280), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((64, 1280), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        )(x)
+
+    x = jnp.arange(256 * 2304, dtype=jnp.float32).reshape(256, 2304)
+    try:
+        f.lower(x).compile()
+        print("  2D-sliced DMA: AOT compile OK", flush=True)
+    except Exception as e:
+        print(f"  2D-sliced DMA: REJECTED ({str(e).splitlines()[0][:140]})",
+              flush=True)
+        return
+    import numpy as np
+
+    out = np.asarray(f(x))
+    want = np.asarray(x)[:, 1024:2304]
+    err = float(np.abs(out - want).max())
+    print(f"  2D-sliced DMA on-device: max err {err:.1e}", flush=True)
+
+
+@section("vdsrchunk")
+def probe_vdsr_chunk_aot():
+    """AOT-acceptance of the width-chunked fused-VDSR tile shapes: big
+    row-group matmul chains at wcin=1280 lanes (vs the wp=2048 compile
+    crash).  Mini-kernel mimicking one mid-segment: spanp-row bf16 slab,
+    group=2 windows, 3 lane-rolls + f32 accum, 4 convs deep."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    feat = 64
+
+    def make(spanp, wcin, nconv):
+        g = 2
+
+        def kernel(w_ref, in_ref, o_ref, b0, b1, sem_in, sem_out):
+            def step(k, _):
+                cp = pltpu.make_async_copy(
+                    in_ref.at[pl.ds(k * spanp * feat, spanp * feat)],
+                    b0.at[pl.ds(feat, spanp * feat)], sem_in)
+                cp.start()
+                cp.wait()
+                bufs = [b0, b1]
+                cur = 0
+                for _li in range(nconv):
+                    src, dst = bufs[cur], bufs[1 - cur]
+                    for gi in range(spanp // g):
+                        sl = src[pl.ds(gi * g * feat, (g + 2) * feat), :]
+                        acc = None
+                        for d in range(3):
+                            mm = jnp.dot(w_ref[:], sl,
+                                         preferred_element_type=jnp.float32)
+                            if d:
+                                mm = pltpu.roll(mm, wcin - d, axis=1)
+                            acc = mm if acc is None else acc + mm
+                        dst[pl.ds((1 + gi * g) * feat, g * feat), :] = (
+                            jax.nn.relu(acc).astype(jnp.bfloat16))
+                    cur = 1 - cur
+                cpo = pltpu.make_async_copy(
+                    bufs[cur].at[pl.ds(feat, spanp * feat)],
+                    o_ref.at[pl.ds(k * spanp * feat, spanp * feat)], sem_out)
+                cpo.start()
+                cpo.wait()
+                return 0
+
+            jax.lax.fori_loop(0, 2, step, 0)
+
+        @jax.jit
+        def f(w, x):
+            return pl.pallas_call(
+                kernel,
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                          pl.BlockSpec(memory_space=pl.ANY)],
+                out_specs=pl.BlockSpec(memory_space=pl.ANY),
+                out_shape=jax.ShapeDtypeStruct((2 * spanp * feat, wcin),
+                                               jnp.bfloat16),
+                scratch_shapes=[
+                    pltpu.VMEM(((spanp + 2) * feat, wcin), jnp.bfloat16),
+                    pltpu.VMEM(((spanp + 2) * feat, wcin), jnp.bfloat16),
+                    pltpu.SemaphoreType.DMA(()),
+                    pltpu.SemaphoreType.DMA(()),
+                ],
+            )(w, x)
+
+        w = jnp.zeros((g * feat, (g + 2) * feat), jnp.bfloat16)
+        x = jnp.zeros((2 * spanp * feat, wcin), jnp.bfloat16)
+        return f.lower(w, x).compile()
+
+    import time as _t
+
+    for spanp, wcin, nconv in [(24, 1280, 2), (40, 1280, 4), (48, 1280, 4),
+                               (40, 1536, 4), (24, 2048, 2)]:
+        t0 = _t.perf_counter()
+        try:
+            make(spanp, wcin, nconv)
+            print(f"  spanp={spanp} wcin={wcin} nconv={nconv}: AOT OK "
+                  f"({_t.perf_counter()-t0:.1f}s)", flush=True)
+        except Exception as e:
+            print(f"  spanp={spanp} wcin={wcin} nconv={nconv}: REJECTED "
+                  f"({str(e).splitlines()[0][:120]})", flush=True)
+
+
 ALL = [probe_vmem, probe_mosaic, probe_fused2, probe_kapply, probe_xla_bf16,
-       probe_vdsr_fused, probe_k2_aot]
+       probe_vdsr_fused, probe_k2_aot, probe_srresnet_profile, probe_dma2d,
+       probe_vdsr_chunk_aot]
 
 if __name__ == "__main__":
     want = set(sys.argv[1:])
