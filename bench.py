@@ -128,6 +128,9 @@ def main():
                           channels=3)),
         ("srresnet-bf16", dict(name="srresnet", scale=4, out_hw=(1080, 1920),
                                batch=1, channels=3, overrides={"dtype": "bf16"})),
+        ("srresnet-bf16-b4", dict(name="srresnet", scale=4, out_hw=(1080, 1920),
+                                  batch=4, channels=3,
+                                  overrides={"dtype": "bf16"})),
         ("vdsr", dict(name="vdsr", scale=4, out_hw=(1080, 1920), batch=1,
                       channels=1)),
         ("vdsr-bf16", dict(name="vdsr", scale=4, out_hw=(1080, 1920), batch=1,
@@ -159,6 +162,8 @@ def main():
     # kernel stays opt-in via SR_VDSR_FUSED=1.
     with _bounded(300, "vdsr-pallas-head"):
         bench_vdsr_pallas_head()
+    with _bounded(300, "srresnet-folded"):
+        bench_srresnet_folded()
     bench_host_ingest()
     bench_virtual_mesh_scaling()
     # Final stdout line = the headline JSON (the driver parses the tail).
@@ -294,6 +299,41 @@ def bench_vdsr_pallas_head():
         raise
     except Exception as e:
         print(f"# vdsr-pallas-head bench failed: {e}", file=sys.stderr)
+
+
+def bench_srresnet_folded(batches=(1, 4)):
+    """SRResNet with the tail conv folded into pre-shuffle space
+    (kernels/apply.py fold_tail_weights): the HR 9x9x64->3 conv — the
+    model's worst MXU shape — runs as 5x5x256->12 at LR."""
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        from ml_super_resolution_tpu.kernels.apply import srresnet_folded_forward
+        from ml_super_resolution_tpu.models import build_model
+        from ml_super_resolution_tpu.utils.config import ModelConfig
+
+        m = build_model(ModelConfig(name="srresnet", scale=4, channels=3))
+        for nb in batches:
+            x = jnp.asarray(
+                np.random.default_rng(0).random((nb, 270, 480, 3)), jnp.float32
+            )
+            v = m.init(jax.random.key(0), x[:1], train=False)
+
+            def fwd(var, inp):
+                return srresnet_folded_forward(
+                    var["params"], var.get("batch_stats", {}), inp, 4,
+                    dtype=jnp.bfloat16,
+                )
+
+            dtf = _iter_time(fwd, v, x, iters=5)
+            mp = nb * 1080 * 1920 / 1e6
+            print(f"# srresnet-folded-bf16-b{nb} x4 -> 1080p: {mp/dtf:.1f} MP/s "
+                  f"({dtf*1e3:.2f} ms)", file=sys.stderr)
+    except TimeoutError:
+        raise
+    except Exception as e:
+        print(f"# srresnet-folded bench failed: {e}", file=sys.stderr)
 
 
 def bench_host_ingest():

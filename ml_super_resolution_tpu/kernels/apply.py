@@ -29,7 +29,8 @@ import jax.numpy as jnp
 from ml_super_resolution_tpu.kernels.residual import conv_residual_add
 from ml_super_resolution_tpu.kernels.subpixel import conv_pixel_shuffle
 
-__all__ = ["vdsr_pallas_forward", "srresnet_pallas_forward", "pallas_apply_fn"]
+__all__ = ["vdsr_pallas_forward", "srresnet_pallas_forward",
+           "srresnet_folded_forward", "fold_tail_weights", "pallas_apply_fn"]
 
 
 def _conv(x, p, stride: int = 1):
@@ -93,6 +94,110 @@ def srresnet_pallas_forward(params, batch_stats, x, scale: int):
         y = _prelu(y, params[f"PReLU_{j + 1}"])
     y = _conv(y, params["Conv_2"])
     return y.astype(jnp.float32)
+
+
+def fold_tail_weights(w9: jnp.ndarray, r: int):
+    """Re-express a kxk conv over a PixelShuffle(r) output in pre-shuffle
+    space: ``conv_k(PS(z)) == PS(conv_k2(z, W'))`` with k2 = k//r + 1.
+
+    Derivation (ops/pixel_shuffle.py contract y[r*u+i, r*v+j, c] =
+    z[u, v, (i*r+j)*C + c]): output sub-position (a, b) taps y at
+    (r*s+a+dy, r*t+b+dx); writing r*s+a+dy = r*(s+du)+i gives the unique
+    dy = r*du + i - a contributing to pre-shuffle tap (du, dv) and
+    sub-channel (i, j).  W'[du, dv, (i*r+j)*C+c, (a*r+b)*Co+co] =
+    W[r*du+i-a, r*dv+j-b, c, co] (zero when out of the kxk range).
+
+    Why: SRResNet's 9x9x64->3 tail at HR is the model's worst MXU shape
+    (N=3 of 128 lanes, at full HR resolution).  Folded, it becomes a
+    5x5x256->12 conv at LR -- 4x fewer M rows, 4x the N occupancy, and the
+    HR 64-channel activation is never materialized.  SAME zero-padding maps
+    exactly (PS of zeros is zeros), so the fold is bit-faithful modulo conv
+    summation order.
+    """
+    k, _, cin, cout = w9.shape
+    half = k // 2
+    k2 = k // r + 1
+    h2 = k2 // 2
+    w = jnp.zeros((k2, k2, cin * r * r, cout * r * r), w9.dtype)
+    for a in range(r):
+        for b in range(r):
+            for du in range(-h2, h2 + 1):
+                for i in range(r):
+                    dy = r * du + i - a
+                    if not -half <= dy <= half:
+                        continue
+                    for dv in range(-h2, h2 + 1):
+                        for j in range(r):
+                            dx = r * dv + j - b
+                            if not -half <= dx <= half:
+                                continue
+                            w = w.at[
+                                du + h2, dv + h2,
+                                (i * r + j) * cin : (i * r + j + 1) * cin,
+                                (a * r + b) * cout : (a * r + b + 1) * cout,
+                            ].set(w9[dy + half, dx + half])
+    return w
+
+
+@partial(jax.jit, static_argnames=("scale", "dtype"))
+def srresnet_folded_forward(params, batch_stats, x, scale: int,
+                            dtype=jnp.float32):
+    """SRResNet/SRGAN inference with the tail conv folded into pre-shuffle
+    space (see fold_tail_weights): the final upsample stage never
+    materializes the HR 64-channel activation, and the lane-starved
+    9x9x64->3 HR conv becomes a 5x5x256->12 LR conv.  Pure XLA."""
+    from ml_super_resolution_tpu.models.srresnet import _upsample_stages
+    from ml_super_resolution_tpu.ops.pixel_shuffle import pixel_shuffle
+
+    def conv(y, p, w=None):
+        w = p["kernel"] if w is None else w
+        dn = jax.lax.conv_dimension_numbers(
+            y.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+        return jax.lax.conv_general_dilated(
+            y, w.astype(dtype), (1, 1), "SAME", dimension_numbers=dn
+        ) + p["bias"].astype(dtype)
+
+    use_bn = "BatchNorm_0" in params
+    x = x.astype(dtype)
+    head = _prelu(conv(x, params["Conv_0"]), params["PReLU_0"])
+    y = head
+    nblocks = sum(1 for k in params if k.startswith("_ResBlock_"))
+    for i in range(nblocks):
+        bp = params[f"_ResBlock_{i}"]
+        bs = batch_stats.get(f"_ResBlock_{i}", {}) if use_bn else {}
+        z = conv(y, bp["Conv_0"])
+        if use_bn:
+            z = _bn(z, bp["BatchNorm_0"], bs["BatchNorm_0"])
+        z = _prelu(z, bp["PReLU_0"])
+        z = conv(z, bp["Conv_1"])
+        if use_bn:
+            z = _bn(z, bp["BatchNorm_1"], bs["BatchNorm_1"])
+        y = y + z
+    y = conv(y, params["Conv_1"])
+    if use_bn:
+        y = _bn(y, params["BatchNorm_0"], batch_stats["BatchNorm_0"])
+    y = y + head  # long skip
+    stages = _upsample_stages(scale)
+    for j, r in enumerate(stages[:-1]):
+        sub = params[f"ICNRConvPixelShuffle_{j}"]["Conv_0"]
+        y = pixel_shuffle(conv(y, sub), r)
+        y = _prelu(y, params[f"PReLU_{j + 1}"])
+    # last stage + PReLU + tail, all in pre-shuffle space
+    r = stages[-1]
+    sub = params[f"ICNRConvPixelShuffle_{len(stages) - 1}"]["Conv_0"]
+    z = conv(y, sub)  # (N, h, w, r^2 * feat)
+    # per-channel PReLU commutes with PS: slope c applies to every
+    # sub-channel (i*r+j)*C + c (flax PReLU is a scalar slope, which
+    # trivially commutes; a vector slope would need jnp.tile(slope, r*r))
+    z = _prelu(z, params[f"PReLU_{len(stages)}"])
+    tail = params["Conv_2"]
+    wf = fold_tail_weights(tail["kernel"], r)
+    dn = jax.lax.conv_dimension_numbers(
+        z.shape, wf.shape, ("NHWC", "HWIO", "NHWC"))
+    out = jax.lax.conv_general_dilated(
+        z, wf.astype(dtype), (1, 1), "SAME", dimension_numbers=dn
+    ) + jnp.tile(tail["bias"], r * r).astype(dtype)
+    return pixel_shuffle(out, r).astype(jnp.float32)
 
 
 def pallas_apply_fn(model_name: str, variables, scale: int):

@@ -98,3 +98,19 @@ def test_upscale_frames_pallas_vdsr_matches_default():
     d = np.abs(a.astype(int) - b.astype(int))
     assert d.max() <= 1
     assert (a != b).mean() < 0.01
+
+
+@pytest.mark.parametrize("scale", [2, 4])
+def test_srresnet_folded_tail_matches_flax(scale):
+    """Folded-tail inference (tail conv computed pre-shuffle; kernels/apply.py
+    fold_tail_weights) == flax apply to f32 tolerance."""
+    from ml_super_resolution_tpu.kernels.apply import srresnet_folded_forward
+
+    m = build_model(ModelConfig(name="srresnet", scale=scale, channels=3,
+                                overrides={"num_blocks": 2}))
+    x = jnp.asarray(np.random.default_rng(2).random((1, 20, 24, 3)), jnp.float32)
+    v = m.init(jax.random.key(2), x, train=False)
+    ref = np.asarray(m.apply(v, x, train=False))
+    out = np.asarray(srresnet_folded_forward(
+        v["params"], v.get("batch_stats", {}), x, scale))
+    np.testing.assert_allclose(out, ref, atol=1e-4)
