@@ -164,6 +164,8 @@ def main():
         bench_vdsr_pallas_head()
     with _bounded(300, "srresnet-folded"):
         bench_srresnet_folded()
+    with _bounded(300, "serve-load"):
+        bench_serve_load()
     bench_host_ingest()
     bench_virtual_mesh_scaling()
     # Final stdout line = the headline JSON (the driver parses the tail).
@@ -334,6 +336,79 @@ def bench_srresnet_folded(batches=(1, 4)):
         raise
     except Exception as e:
         print(f"# srresnet-folded bench failed: {e}", file=sys.stderr)
+
+
+def bench_serve_load(clients: int = 4, per_client: int = 25):
+    """HTTP serving load row: requests/s with concurrent clients hammering
+    the micro-batched /upscale endpoint (bf16 trunk, 128x128 -> 512x512)."""
+    try:
+        import io
+        import threading
+        import time as _t
+        import urllib.request
+
+        import jax
+        from PIL import Image
+
+        from ml_super_resolution_tpu.models import build_model
+        from ml_super_resolution_tpu.serve import serve
+        from ml_super_resolution_tpu.train.trainer import Trainer
+        from ml_super_resolution_tpu.utils.config import (
+            ExperimentConfig,
+            ModelConfig,
+        )
+
+        cfg = ExperimentConfig(model=ModelConfig(name="espcn", scale=4,
+                                                 channels=1))
+        trainer = Trainer(cfg, workdir=None)
+        state = trainer.init_state(0)
+        ready = threading.Event()
+        port = 8693
+        th = threading.Thread(
+            target=serve, args=(trainer, state, cfg),
+            kwargs=dict(port=port, ready_event=ready, bf16=True,
+                        window_ms=6.0),
+            daemon=True,
+        )
+        th.start()
+        assert ready.wait(timeout=60)
+
+        img = (np.random.default_rng(0).random((128, 128, 3)) * 255).astype(
+            np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, format="PNG")
+        body = buf.getvalue()
+
+        def post_once():
+            rq = urllib.request.Request(
+                f"http://127.0.0.1:{port}/upscale", data=body, method="POST")
+            with urllib.request.urlopen(rq, timeout=120) as r:
+                r.read()
+
+        post_once()  # warm: compile the serving program
+
+        done = [0] * clients
+
+        def client(i):
+            for _ in range(per_client):
+                post_once()
+                done[i] += 1
+
+        t0 = _t.perf_counter()
+        ths = [threading.Thread(target=client, args=(i,))
+               for i in range(clients)]
+        for t in ths:
+            t.start()
+        for t in ths:
+            t.join(timeout=250)
+        dt = _t.perf_counter() - t0
+        n = sum(done)
+        print(f"# serve-load (espcn-bf16 x4, {clients} clients, 128px): "
+              f"{n/dt:.1f} req/s over {n} reqs ({dt:.1f}s)", file=sys.stderr)
+    except TimeoutError:
+        raise
+    except Exception as e:
+        print(f"# serve-load bench failed: {e}", file=sys.stderr)
 
 
 def bench_host_ingest():

@@ -332,13 +332,22 @@ def cmd_serve(args) -> int:
     from ml_super_resolution_tpu.serve import serve
 
     trainer, state, step, cfg = _load_run(args.workdir, best=getattr(args, "best", False))
+    extra = {}
+    for spec in args.extra or []:
+        name, _, wd = spec.partition("=")
+        if not wd:
+            print(f"--extra expects name=workdir, got {spec!r}", file=sys.stderr)
+            return 2
+        tr_i, st_i, _, cfg_i = _load_run(wd, best=getattr(args, "best", False))
+        extra[name] = (tr_i, st_i, cfg_i)
     print(json.dumps({
         "serving": f"http://{args.host}:{args.port}", "model": cfg.model.name,
-        "scale": cfg.model.scale, "step": step,
+        "scale": cfg.model.scale, "step": step, "bf16": args.bf16,
+        "extra_models": sorted(extra),
     }), flush=True)
     serve(trainer, state, cfg, host=args.host, port=args.port,
           use_pallas=args.pallas, max_batch=args.max_batch,
-          window_ms=args.window_ms)
+          window_ms=args.window_ms, bf16=args.bf16, extra_models=extra)
     return 0
 
 
@@ -435,6 +444,11 @@ def main(argv=None) -> int:
     p_serve.add_argument("--host", default="127.0.0.1")
     p_serve.add_argument("--port", type=int, default=8600)
     p_serve.add_argument("--pallas", action="store_true")
+    p_serve.add_argument("--bf16", action="store_true",
+                         help="bfloat16 serving trunk (f32 params)")
+    p_serve.add_argument("--extra", action="append", default=[],
+                         metavar="NAME=WORKDIR",
+                         help="additional models: POST /upscale?model=NAME")
     p_serve.add_argument("--max-batch", type=int, default=8,
                          help="micro-batch cap for coalesced requests")
     p_serve.add_argument("--window-ms", type=float, default=4.0,

@@ -123,26 +123,52 @@ class _Batcher:
 
 def serve(trainer, state, cfg, host: str = "127.0.0.1", port: int = 8600,
           use_pallas: bool = False, ready_event=None,
-          max_batch: int = 8, window_ms: float = 4.0):
-    """Blocking serve loop; ``ready_event`` (threading.Event) set when bound."""
+          max_batch: int = 8, window_ms: float = 4.0, bf16: bool = False,
+          extra_models: dict | None = None):
+    """Blocking serve loop; ``ready_event`` (threading.Event) set when bound.
+
+    ``bf16`` swaps the serving trunk to bfloat16 compute (params stay f32 on
+    device; flax casts per-op) — the fastest measured configuration at
+    quality parity.  ``extra_models`` maps additional endpoint names to
+    ``(trainer, state, cfg)`` triples; requests pick one via
+    ``POST /upscale?model=<name>`` (default: the primary model).
+    """
     from PIL import Image
 
     from ml_super_resolution_tpu.infer import upscale_frames
 
-    variables = {"params": trainer.eval_params(state)}
-    if state.batch_stats:
-        variables["batch_stats"] = state.batch_stats
-    model_name, scale = cfg.model.name, cfg.model.scale
-
-    def device_fn(imgs: np.ndarray) -> np.ndarray:
+    def make_device_fn(trainer, state, cfg):
         import jax.numpy as jnp
 
-        return np.asarray(upscale_frames(
-            trainer.model, variables, jnp.asarray(imgs), model_name, scale,
-            use_pallas=use_pallas,
-        ))
+        model = trainer.model
+        if bf16:
+            import dataclasses
 
-    batcher = _Batcher(device_fn, max_batch=max_batch, window_ms=window_ms)
+            from ml_super_resolution_tpu.models import build_model
+
+            ov = dict(cfg.model.overrides)
+            ov["dtype"] = jnp.bfloat16
+            model = build_model(dataclasses.replace(cfg.model, overrides=ov))
+        variables = {"params": trainer.eval_params(state)}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        model_name, scale = cfg.model.name, cfg.model.scale
+
+        def device_fn(imgs: np.ndarray) -> np.ndarray:
+            return np.asarray(upscale_frames(
+                model, variables, jnp.asarray(imgs), model_name, scale,
+                use_pallas=use_pallas,
+            ))
+
+        return device_fn
+
+    model_name, scale = cfg.model.name, cfg.model.scale
+    batchers = {"": _Batcher(make_device_fn(trainer, state, cfg),
+                             max_batch=max_batch, window_ms=window_ms)}
+    for name, (tr_i, st_i, cfg_i) in (extra_models or {}).items():
+        batchers[name] = _Batcher(make_device_fn(tr_i, st_i, cfg_i),
+                                  max_batch=max_batch, window_ms=window_ms)
+    batcher = batchers[""]
 
     def decode(body: bytes) -> np.ndarray:
         try:
@@ -170,6 +196,8 @@ def serve(trainer, state, cfg, host: str = "127.0.0.1", port: int = 8600,
             if self.path == "/healthz":
                 self._json(200, {
                     "status": "ok", "model": model_name, "scale": scale,
+                    "bf16": bf16,
+                    "models": [n for n in batchers if n] or [model_name],
                     "served": batcher.served, "batches": batcher.batches,
                     "mean_batch": round(
                         batcher.served / max(1, batcher.batches), 2
@@ -179,8 +207,17 @@ def serve(trainer, state, cfg, host: str = "127.0.0.1", port: int = 8600,
                 self._json(404, {"error": "not found"})
 
         def do_POST(self):
-            if self.path != "/upscale":
+            from urllib.parse import parse_qs, urlparse
+
+            url = urlparse(self.path)
+            if url.path != "/upscale":
                 self._json(404, {"error": "not found"})
+                return
+            want = parse_qs(url.query).get("model", [""])[0]
+            b = batchers.get(want)
+            if b is None:
+                self._json(404, {"error": f"unknown model {want!r}",
+                                 "models": [n for n in batchers if n]})
                 return
             try:
                 length = int(self.headers.get("Content-Length", "0"))
@@ -189,7 +226,7 @@ def serve(trainer, state, cfg, host: str = "127.0.0.1", port: int = 8600,
                 self._json(400, {"error": f"bad image: {e}"})
                 return
             try:
-                sr = batcher.submit(img)
+                sr = b.submit(img)
             except Exception as e:
                 self._json(500, {"error": f"device: {e}"})
                 return

@@ -91,3 +91,69 @@ def test_serve_upscales_over_http(tmp_path, capsys):
     except urllib.error.HTTPError as e:
         raised = e.code == 400
     assert raised
+
+
+def test_bucket_respects_non_pow2_max_batch():
+    from ml_super_resolution_tpu.serve import _bucket
+
+    assert _bucket(5, 6) == 6  # not 8: the padded bucket never exceeds cap
+    assert _bucket(3, 6) == 4
+    assert _bucket(9, 8) == 8
+    assert _bucket(1, 1) == 1
+
+
+def test_serve_multi_model_and_bf16(tmp_path, capsys):
+    """Round-3 serving depth: bf16 trunk + second model behind ?model=."""
+    wd1, wd2 = tmp_path / "a", tmp_path / "b"
+    for wd, scale in ((wd1, "2"), (wd2, "3")):
+        main([
+            "train", "--model", "espcn", "--scale", scale,
+            "--workdir", str(wd), "--steps", "2", "--batch-size", "4",
+            "--patch-size", "36", "--dp", "1",
+            "--ckpt-every", "2", "--eval-every", "1000", "--log-every", "10",
+        ])
+    capsys.readouterr()
+
+    from ml_super_resolution_tpu.cli import _load_run
+
+    trainer, state, step, cfg = _load_run(str(wd1))
+    tr2, st2, _, cfg2 = _load_run(str(wd2))
+    ready = threading.Event()
+    th = threading.Thread(
+        target=serve, args=(trainer, state, cfg),
+        kwargs=dict(port=8613, ready_event=ready, bf16=True,
+                    extra_models={"x3": (tr2, st2, cfg2)}),
+        daemon=True,
+    )
+    th.start()
+    assert ready.wait(timeout=60)
+
+    with urllib.request.urlopen("http://127.0.0.1:8613/healthz", timeout=30) as r:
+        health = json.loads(r.read())
+    assert health["bf16"] is True
+    assert health["models"] == ["x3"]
+
+    rng = np.random.default_rng(1)
+    img = (rng.random((24, 30, 3)) * 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    for q, want in (("", (48, 60, 3)), ("?model=x3", (72, 90, 3))):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:8613/upscale{q}", data=buf.getvalue(),
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            sr = np.asarray(Image.open(io.BytesIO(r.read())))
+        assert sr.shape == want, (q, sr.shape)
+
+    # unknown model -> clean 404 listing the registry
+    req = urllib.request.Request(
+        "http://127.0.0.1:8613/upscale?model=nope", data=buf.getvalue(),
+        method="POST",
+    )
+    try:
+        urllib.request.urlopen(req, timeout=30)
+        raised = False
+    except urllib.error.HTTPError as e:
+        raised = e.code == 404
+    assert raised
