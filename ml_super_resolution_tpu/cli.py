@@ -156,6 +156,15 @@ def cmd_train(args) -> int:
 
     # Must run before any jax device/mesh use (no-op when --coordinator unset).
     maybe_initialize(args.coordinator, args.num_processes, args.process_id)
+    if "auto" in (args.data, args.eval_data):
+        from ml_super_resolution_tpu.data.discover import resolve_data_arg
+
+        args.data = resolve_data_arg(args.data, "train")
+        args.eval_data = resolve_data_arg(args.eval_data, "eval")
+        print(json.dumps({"data_autodiscovery": {
+            "train": args.data or "(synthetic)",
+            "eval": args.eval_data or "(synthetic)",
+        }}), file=sys.stderr)
     cfg = _config_from_args(args)
     workdir = args.workdir or f"runs/{args.model}_x{args.scale}"
     ds = make_dataset(cfg.data.train_dir or None, n=800, size=256, seed=cfg.data.seed)
@@ -374,6 +383,20 @@ def cmd_parity(args) -> int:
     """Paper-protocol parity table vs BASELINE.md (see parity.py)."""
     from ml_super_resolution_tpu.parity import main_parity
 
+    if args.data == "auto":
+        # zero-interaction path for a surprise data mount (data/discover.py)
+        from ml_super_resolution_tpu.data.discover import discover_datasets
+
+        found = discover_datasets()
+        sets = {k: v for k, v in found.items()
+                if k in ("set5", "set14", "bsd100", "b100")}
+        if not sets:
+            print(json.dumps({"parity": "no benchmark sets discovered",
+                              "found": found}))
+            return 3
+        args.data = str(Path(next(iter(sets.values()))).parent)
+        print(json.dumps({"discovered": sets, "using": args.data}),
+              file=sys.stderr)
     return main_parity(args)
 
 

@@ -147,3 +147,30 @@ def test_cli_tiles_2d_grid(tmp_path, capsys):
     np.testing.assert_array_equal(
         np.asarray(Image.open(dst2)), np.asarray(Image.open(dst1))
     )
+
+
+def test_dataset_autodiscovery(tmp_path):
+    """data/discover.py finds benchmark sets under conventional roots and
+    resolve_data_arg picks train vs eval sets appropriately."""
+    from PIL import Image
+
+    from ml_super_resolution_tpu.data import discover
+
+    root = tmp_path / "data"
+    for name, n in (("Set5", 5), ("T91", 3)):
+        d = root / name
+        d.mkdir(parents=True)
+        for i in range(n):
+            Image.new("RGB", (16, 16), (i * 20, 0, 0)).save(d / f"{i}.png")
+    found = discover.discover_datasets(roots=[str(root)])
+    assert found["set5"].endswith("Set5")
+    assert found["t91"].endswith("T91")
+
+    import unittest.mock as mock
+
+    with mock.patch.object(discover, "_ROOTS", [str(root)]):
+        assert discover.resolve_data_arg("auto", "eval").endswith("Set5")
+        assert discover.resolve_data_arg("auto", "train").endswith("T91")
+        assert discover.resolve_data_arg("/explicit", "train") == "/explicit"
+    with mock.patch.object(discover, "_ROOTS", [str(tmp_path / "nope")]):
+        assert discover.resolve_data_arg("auto", "train") == ""
