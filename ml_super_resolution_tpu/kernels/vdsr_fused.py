@@ -68,7 +68,11 @@ __all__ = ["vdsr_fused_forward", "extract_vdsr_weights"]
 _G1 = 8  # first-conv (1->64) row group
 _GL = 8  # last-conv (64->1) row group
 _MAX_SEG = 6  # convs per segment (VMEM- and halo-bounded)
-_M = 128  # chunk column halo (lane-aligned margin each side)
+# Chunk column halo (lane-aligned margin each side).  Must be a multiple of
+# 128 lanes /2 = 64 so wcin stays 128-aligned with both margins; needs only
+# >= max_seg + roll-wrap creep (<= 2*max_seg), so 64 is ample and keeps the
+# lane-overhead multiplier at (wc+128)/wc instead of (wc+256)/wc.
+_M = 64
 
 
 def extract_vdsr_weights(params: dict) -> list[tuple[jnp.ndarray, jnp.ndarray]]:
@@ -254,18 +258,29 @@ def _seg_kernel(*refs, cfg):
                     return
                 # segment-final conv: roll the seg-shift away (window lands
                 # at lane offset 0), slice the chunk's wc columns, DMA the
-                # group's rows straight to the chunk-major HBM output
+                # group's rows straight to the chunk-major HBM output.
+                # DMAs go through a 2-slot ring with deferred waits: a
+                # serialized start->wait per group costs ~2 us x tb/g groups
+                # x blocks x segments (>10 ms/frame at 1080p); the ring keeps
+                # the next group's matmul running while the copy drains.
                 rolled = pltpu.roll(v, rollback, axis=1)
-                gbuf[:, :] = rolled[:, 0:wc].astype(cdt)
-                cpo = pltpu.make_async_copy(
-                    gbuf,
+                gi_ = jnp.int32(gb // g) - seg // g  # 0-based final group idx
+                slot = jax.lax.rem(gi_, 2) * (g * feat)
+                dst = gbuf.at[pl.ds(slot, g * feat)]
+
+                @pl.when(gi_ >= 2)
+                def _wait_prev():
+                    # one completion of this byte count (FIFO per engine)
+                    pltpu.make_async_copy(dst, dst, sem_out).wait()
+
+                gbuf[pl.ds(slot, g * feat), :] = rolled[:, 0:wc].astype(cdt)
+                pltpu.make_async_copy(
+                    dst,
                     out_ref.at[pl.ds(
                         ((ni * ncw + ci) * hp + base + gb - seg) * feat,
                         g * feat)],
                     sem_out,
-                )
-                cpo.start()
-                cpo.wait()
+                ).start()
 
             # the segment-final conv only needs the interior output rows
             # [seg, seg+tb); earlier convs compute the full (shrinking) span
@@ -280,6 +295,11 @@ def _seg_kernel(*refs, cfg):
             else:
                 for gi in range(g0, g1):
                     group(g * gi)
+            if final:
+                # drain the 2-slot output-DMA ring before the block moves on
+                for s_ in range(min(2, g1 - g0)):
+                    d_ = gbuf.at[pl.ds(s_ * g * feat, g * feat)]
+                    pltpu.make_async_copy(d_, d_, sem_out).wait()
             li += 1
             cur = 1 - cur
 
@@ -453,7 +473,8 @@ def _vdsr_fused(ws, x, tile_h, group, bf16, compact, max_seg, wc, interpret):
         if has_first:
             scratch.append(pltpu.VMEM((slabp, wcin), jnp.float32))
         if not has_last:
-            scratch.append(pltpu.VMEM((group * feat, wc), cdt))  # gbuf
+            # 2-slot output-DMA ring (deferred waits; see _seg_kernel)
+            scratch.append(pltpu.VMEM((2 * group * feat, wc), cdt))
         if has_last:
             scratch.append(pltpu.VMEM((tb, wc), jnp.float32))  # skipv
             scratch.append(pltpu.VMEM((tb, wc), jnp.float32))  # outv

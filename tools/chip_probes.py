@@ -396,6 +396,42 @@ def probe_srresnet_profile():
         except Exception as e:
             print(f"  full-bf16 b{nb}: FAILED ({e})", flush=True)
 
+    # folded-tail inference (kernels/apply.py): parity once, then timing
+    try:
+        from ml_super_resolution_tpu.kernels.apply import (
+            srresnet_folded_forward,
+        )
+        from ml_super_resolution_tpu.models import build_model as _bm
+        from ml_super_resolution_tpu.utils.config import ModelConfig as _MC
+
+        m = _bm(_MC(name="srresnet", scale=4, channels=3))
+        import numpy as _np
+
+        xs = jnp.asarray(_np.random.default_rng(0).random((1, 68, 120, 3)),
+                         jnp.float32)
+        v = m.init(jax.random.key(0), xs, train=False)
+        ref = _np.asarray(m.apply(v, xs, train=False))
+        got = _np.asarray(srresnet_folded_forward(
+            v["params"], v.get("batch_stats", {}), xs, 4))
+        print(f"  folded-tail on-device max err: "
+              f"{_np.abs(got-ref).max():.2e}", flush=True)
+        for nb in (1, 4):
+            x = jnp.asarray(
+                _np.random.default_rng(0).random((nb, 270, 480, 3)),
+                jnp.float32)
+
+            def fwd(var, inp):
+                return srresnet_folded_forward(
+                    var["params"], var.get("batch_stats", {}), inp, 4,
+                    dtype=jnp.bfloat16)
+
+            dt = bench._iter_time(fwd, v, x, iters=5)
+            mp = nb * 1080 * 1920 / 1e6
+            print(f"  folded-bf16 b{nb}: {mp/dt:.1f} MP/s ({dt*1e3:.2f} ms)",
+                  flush=True)
+    except Exception as e:
+        print(f"  folded-tail: FAILED ({str(e)[:140]})", flush=True)
+
     # isolated pieces (random weights; timing only)
     rng = jax.random.key(0)
     bf = jnp.bfloat16
@@ -470,48 +506,62 @@ def probe_dma2d():
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    def kernel(x_ref, o_ref, v, sem, so):
-        def step(k, _):
-            cp = pltpu.make_async_copy(
-                x_ref.at[pl.ds(k * 64, 64), pl.ds(1024, 1280)], v, sem)
-            cp.start()
-            cp.wait()
-            cpo = pltpu.make_async_copy(
-                v, o_ref.at[pl.ds(k * 64, 64), pl.ds(0, 1280)], so)
-            cpo.start()
-            cpo.wait()
-            return 0
-
-        jax.lax.fori_loop(0, 4, step, 0)
-
-    @jax.jit
-    def f(x):
-        return pl.pallas_call(
-            kernel,
-            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-            out_specs=pl.BlockSpec(memory_space=pl.ANY),
-            out_shape=jax.ShapeDtypeStruct((256, 1280), jnp.float32),
-            scratch_shapes=[
-                pltpu.VMEM((64, 1280), jnp.float32),
-                pltpu.SemaphoreType.DMA(()),
-                pltpu.SemaphoreType.DMA(()),
-            ],
-        )(x)
-
-    x = jnp.arange(256 * 2304, dtype=jnp.float32).reshape(256, 2304)
-    try:
-        f.lower(x).compile()
-        print("  2D-sliced DMA: AOT compile OK", flush=True)
-    except Exception as e:
-        print(f"  2D-sliced DMA: REJECTED ({str(e).splitlines()[0][:140]})",
-              flush=True)
-        return
     import numpy as np
 
-    out = np.asarray(f(x))
-    want = np.asarray(x)[:, 1024:2304]
-    err = float(np.abs(out - want).max())
-    print(f"  2D-sliced DMA on-device: max err {err:.1e}", flush=True)
+    def make(src_off, dst_off, cols, dtype, run=True):
+        def kernel(x_ref, o_ref, v, sem, so):
+            def step(k, _):
+                cp = pltpu.make_async_copy(
+                    x_ref.at[pl.ds(k * 64, 64), pl.ds(src_off, cols)], v, sem)
+                cp.start()
+                cp.wait()
+                cpo = pltpu.make_async_copy(
+                    v, o_ref.at[pl.ds(k * 64, 64), pl.ds(dst_off, cols)], so)
+                cpo.start()
+                cpo.wait()
+                return 0
+
+            jax.lax.fori_loop(0, 4, step, 0)
+
+        @jax.jit
+        def f(x):
+            return pl.pallas_call(
+                kernel,
+                in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+                out_specs=pl.BlockSpec(memory_space=pl.ANY),
+                out_shape=jax.ShapeDtypeStruct((256, dst_off + cols + 128),
+                                               dtype),
+                scratch_shapes=[
+                    pltpu.VMEM((64, cols), dtype),
+                    pltpu.SemaphoreType.DMA(()),
+                    pltpu.SemaphoreType.DMA(()),
+                ],
+            )(x)
+
+        x = jnp.arange(256 * 2304, dtype=jnp.float32).astype(dtype)
+        x = x.reshape(256, 2304)
+        label = f"src@{src_off} dst@{dst_off} cols={cols} {dtype.__name__}"
+        try:
+            f.lower(x).compile()
+        except Exception as e:
+            print(f"  {label}: REJECTED ({str(e).splitlines()[0][:120]})",
+                  flush=True)
+            return
+        if not run:
+            print(f"  {label}: AOT OK", flush=True)
+            return
+        out = np.asarray(f(x))[:, dst_off : dst_off + cols]
+        want = np.asarray(x)[:, src_off : src_off + cols]
+        err = float(np.abs(out.astype(np.float32)
+                           - want.astype(np.float32)).max())
+        print(f"  {label}: AOT OK, on-device err {err:.1e}", flush=True)
+
+    make(1024, 0, 1280, jnp.float32)          # 128-aligned src
+    make(1024, 128, 1024, jnp.float32)        # 128-aligned src AND dst
+    make(64, 0, 1280, jnp.float32, run=False)   # 64-aligned src offset
+    make(1024, 64, 1024, jnp.float32, run=False)  # 64-aligned dst offset
+    make(8, 0, 1280, jnp.float32, run=False)    # 8-aligned src offset
+    make(1024, 128, 1024, jnp.bfloat16, run=False)  # bf16 col-sliced
 
 
 @section("vdsrchunk")
