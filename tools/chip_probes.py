@@ -270,10 +270,12 @@ def probe_vdsr_fused():
             continue
         print(f"  {label}: AOT compile {_t.perf_counter()-t0:.1f}s OK",
               flush=True)
-        if ref is None:
-            ref = np.asarray(m.apply(v, x, train=False))
-        out = np.asarray(fused(v["params"], x))
-        err = float(np.abs(out - ref).max())
+        # parity computed ON-DEVICE: scalar readback only (a 1080p f32
+        # readback through the relay costs minutes at ~30 MB/s)
+        err_fn = jax.jit(lambda p, inp, _kw=kw: jnp.max(jnp.abs(
+            vdsr_fused_forward(p, inp, interpret=False, **_kw)
+            - m.apply({"params": p}, inp, train=False))))
+        err = float(err_fn(v["params"], x))
         print(f"  {label}: on-device max err vs flax f32: {err:.2e}",
               flush=True)
         if err > 0.1:
@@ -303,12 +305,13 @@ def probe_vdsr_fused():
         np.random.default_rng(1).random((8, 270, 480, 1)), jnp.float32
     )
     ve = me.init(jax.random.key(1), xe[:1], train=False)
-    refe = np.asarray(me.apply(ve, xe, train=False))
     wts = extract_espcn_weights(ve["params"])
     for bf16 in (True, False):
-        oute = np.asarray(espcn_fused2_forward(wts, xe, 4, bf16=bf16))
+        erre = jax.jit(lambda w, inp, _b=bf16: jnp.max(jnp.abs(
+            espcn_fused2_forward(w, inp, 4, bf16=_b)
+            - me.apply(ve, inp, train=False))))(wts, xe)
         print(f"  espcn-fused2 bf16={bf16} on-device max err: "
-              f"{np.abs(oute - refe).max():.2e}", flush=True)
+              f"{float(erre):.2e}", flush=True)
     mpe = 8 * 1080 * 1920 / 1e6
     dte = bench._iter_time(
         lambda w, inp: espcn_fused2_forward(w, inp, 4, bf16=True),
@@ -410,11 +413,12 @@ def probe_srresnet_profile():
         xs = jnp.asarray(_np.random.default_rng(0).random((1, 68, 120, 3)),
                          jnp.float32)
         v = m.init(jax.random.key(0), xs, train=False)
-        ref = _np.asarray(m.apply(v, xs, train=False))
-        got = _np.asarray(srresnet_folded_forward(
-            v["params"], v.get("batch_stats", {}), xs, 4))
-        print(f"  folded-tail on-device max err: "
-              f"{_np.abs(got-ref).max():.2e}", flush=True)
+        err = jax.jit(lambda v_, i: jnp.max(jnp.abs(
+            srresnet_folded_forward(
+                v_["params"], v_.get("batch_stats", {}), i, 4)
+            - m.apply(v_, i, train=False))))(v, xs)
+        print(f"  folded-tail on-device max err: {float(err):.2e}",
+              flush=True)
         for nb in (1, 4):
             x = jnp.asarray(
                 _np.random.default_rng(0).random((nb, 270, 480, 3)),
