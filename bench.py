@@ -212,9 +212,6 @@ def bench_fused_espcn():
             espcn_fused_forward,
             extract_espcn_weights,
         )
-        from ml_super_resolution_tpu.kernels.espcn_fused2 import (
-            espcn_fused2_forward,
-        )
         from ml_super_resolution_tpu.models import build_model
         from ml_super_resolution_tpu.utils.config import ModelConfig
 
@@ -227,10 +224,6 @@ def bench_fused_espcn():
         mp = 8 * 1080 * 1920 / 1e6
         rows = [
             ("espcn-pallas-v1", lambda w, inp: espcn_fused_forward(w, inp, 4)),
-            ("espcn-pallas-v2", lambda w, inp: espcn_fused2_forward(
-                w, inp, 4, bf16=False)),
-            ("espcn-pallas-v2-bf16", lambda w, inp: espcn_fused2_forward(
-                w, inp, 4, bf16=True)),
         ]
         for label, fwd in rows:
             try:

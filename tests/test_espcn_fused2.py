@@ -1,4 +1,4 @@
-"""Golden tests for the v2 fused ESPCN kernel (kernels/espcn_fused2.py).
+"""Golden tests for the v2 fused ESPCN kernel (kernels/attic/espcn_fused2.py — retired, see attic/__init__.py).
 
 Interpreter mode on CPU = exact f32 math; on-device numbers in RESULTS.md.
 """
@@ -8,7 +8,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from ml_super_resolution_tpu.kernels.espcn_fused2 import (
+from ml_super_resolution_tpu.kernels.attic.espcn_fused2 import (
     espcn_fused2_forward,
     extract_espcn_weights,
 )

@@ -141,7 +141,7 @@ def probe_fused2():
     import jax
     import jax.numpy as jnp
 
-    from ml_super_resolution_tpu.kernels.espcn_fused2 import (
+    from ml_super_resolution_tpu.kernels.attic.espcn_fused2 import (
         espcn_fused2_forward,
         extract_espcn_weights,
     )
@@ -295,7 +295,7 @@ def probe_vdsr_fused():
         print(f"  {label}: {mps:.1f} MP/s ({dtx*1e3:.2f} ms)", flush=True)
 
     # fused ESPCN v2 (the round-2 kernel): parity then timing vs bf16 XLA
-    from ml_super_resolution_tpu.kernels.espcn_fused2 import (
+    from ml_super_resolution_tpu.kernels.attic.espcn_fused2 import (
         espcn_fused2_forward,
         extract_espcn_weights,
     )
