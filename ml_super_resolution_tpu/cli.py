@@ -25,7 +25,8 @@ import numpy as np
 
 def _add_train_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--model", default="srcnn",
-                   choices=["srcnn", "espcn", "vdsr", "srresnet", "srgan"])
+                   choices=["srcnn", "espcn", "vdsr", "srresnet", "srgan",
+                            "edsr"])
     p.add_argument("--scale", type=int, default=2, choices=[2, 3, 4, 8])
     p.add_argument("--data", default="", help="HR image dir (synthetic if empty)")
     p.add_argument("--eval-data", default="", help="benchmark set dir")
@@ -94,6 +95,8 @@ _MODEL_DEFAULTS = {
     "vdsr": dict(patch=41, lr=1e-3, clip=0.5),  # high LR + clipping, paper §3.3
     "srresnet": dict(patch=96, lr=1e-4, clip=0.0),
     "srgan": dict(patch=96, lr=1e-4, clip=0.0),
+    # EDSR protocol (arXiv:1707.02921 §4.2): 48^2 LR patches, L1, Adam 1e-4.
+    "edsr": dict(patch=192, lr=1e-4, clip=0.0, loss="l1"),
 }
 
 
@@ -106,7 +109,7 @@ def _config_from_args(args) -> "ExperimentConfig":
     )
 
     d = _MODEL_DEFAULTS[args.model]
-    channels = 3 if args.model in ("srresnet", "srgan") else 1
+    channels = 3 if args.model in ("srresnet", "srgan", "edsr") else 1
     patch = args.patch_size or d["patch"]
     patch -= patch % args.scale  # keep LR/HR grids aligned
     # Host->device transfer is the training loop's only per-step traffic;
@@ -132,6 +135,7 @@ def _config_from_args(args) -> "ExperimentConfig":
             lr_decay_steps=args.lr_decay_steps,
             lr_decay_rate=args.lr_decay_rate,
             grad_clip_norm=d["clip"],
+            loss=d.get("loss", "mse"),
             bf16=args.bf16,
             pallas_preprocess=getattr(args, "pallas_preprocess", False),
             steps_per_call=getattr(args, "steps_per_call", 1),

@@ -12,6 +12,7 @@ from typing import Any, Callable
 from ml_super_resolution_tpu.models.srcnn import SRCNN
 from ml_super_resolution_tpu.models.espcn import ESPCN
 from ml_super_resolution_tpu.models.vdsr import VDSR
+from ml_super_resolution_tpu.models.edsr import EDSR
 from ml_super_resolution_tpu.models.srresnet import SRResNet, SRGANDiscriminator
 from ml_super_resolution_tpu.models.vgg import VGG19Features, load_vgg19_params
 from ml_super_resolution_tpu.utils.config import ModelConfig
@@ -22,6 +23,7 @@ __all__ = [
     "VDSR",
     "SRResNet",
     "SRGANDiscriminator",
+    "EDSR",
     "build_model",
     "MODEL_SPECS",
     "register_model",
@@ -63,6 +65,9 @@ register_model(
     y_only=False,
     rf_radius=lambda s: 41,
 )
+# EDSR-baseline: 3x3 head (1) + 16 blocks * 2 convs (32) + mid conv (1)
+# + upsample convs (2) + 3x3 HR tail (~1 in LR) — conservative LR radius 37.
+register_model("edsr", EDSR, lr_space=True, y_only=False, rf_radius=lambda s: 37)
 # 'srgan' is SRResNet weights trained with the adversarial recipe — same net.
 register_model(
     "srgan",
@@ -77,7 +82,7 @@ def build_model(cfg: ModelConfig):
     """Instantiate a model from config; ``cfg.overrides`` feed the constructor."""
     spec = MODEL_SPECS[cfg.name]
     kwargs = dict(cfg.overrides)
-    if cfg.name in ("espcn", "srresnet", "srgan"):
+    if cfg.name in ("espcn", "srresnet", "srgan", "edsr"):
         kwargs.setdefault("scale", cfg.scale)
     kwargs.setdefault("channels", cfg.channels)
     return spec["ctor"](**kwargs)

@@ -209,7 +209,10 @@ class Trainer:
         else:
             out = self.model.apply(variables, lr_batch, train=train)
             new_stats = batch_stats
-        loss = jnp.mean(jnp.square(out - hr_batch))
+        if self.cfg.train.loss == "l1":
+            loss = jnp.mean(jnp.abs(out - hr_batch))
+        else:
+            loss = jnp.mean(jnp.square(out - hr_batch))
         return loss, (new_stats, out)
 
     def _step_impl(self, state: TrainState, tiles: jnp.ndarray):

@@ -73,6 +73,9 @@ class TrainConfig:
     lr_decay_rate: float = 0.1
     weight_decay: float = 0.0
     ema_decay: float = 0.0  # 0 disables params EMA
+    # Pixel loss: "mse" (SRCNN/ESPCN/VDSR/SRResNet protocol) or "l1"
+    # (EDSR protocol, arXiv:1707.02921 §4.2).
+    loss: str = "mse"
     # bf16 compute for conv stacks; params/optimizer state stay f32.
     bf16: bool = False
     # K3: route the in-step RGB->Y + bicubic-degrade stage through the fused

@@ -157,3 +157,49 @@ def test_gradients_flow_everywhere():
     grads = jax.grad(loss)(vars_["params"])
     for g in jax.tree.leaves(grads):
         assert float(jnp.max(jnp.abs(g))) > 0
+
+
+@pytest.mark.parametrize("scale", [2, 3, 4])
+def test_edsr_shapes(scale):
+    from ml_super_resolution_tpu.models import EDSR
+
+    m = EDSR(scale=scale, channels=3, num_blocks=2)
+    vars_ = m.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3), jnp.float32))
+    out = m.apply(vars_, jnp.zeros((2, 10, 12, 3), jnp.float32))
+    assert out.shape == (2, 10 * scale, 12 * scale, 3)
+    # no BN anywhere (paper §3.1): a single stateless collection
+    assert set(vars_) == {"params"}
+
+
+def test_edsr_baseline_param_count():
+    """EDSR-baseline (16 blocks x 64): paper table 1 reports 1.37M at x2
+    (arXiv:1707.02921); x4 adds one more upsample stage conv."""
+    from ml_super_resolution_tpu.models import EDSR
+
+    m = EDSR(scale=2, channels=3, num_blocks=16)
+    vars_ = m.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3), jnp.float32))
+    n = _n_params(vars_["params"])
+    assert 1.3e6 < n < 1.45e6, n
+
+
+def test_edsr_residual_scaling_contracts_block_output():
+    from ml_super_resolution_tpu.models import EDSR
+
+    x = jax.random.uniform(jax.random.key(1), (1, 8, 8, 3))
+    outs = {}
+    for rs in (1.0, 0.1):
+        m = EDSR(scale=2, channels=3, num_blocks=2, res_scale=rs)
+        vars_ = m.init(jax.random.key(0), x)
+        outs[rs] = np.asarray(m.apply(vars_, x))
+    # same init => scaled-residual trunk deviates less from its head path
+    assert not np.allclose(outs[1.0], outs[0.1])
+
+
+def test_edsr_registry_and_build():
+    from ml_super_resolution_tpu.models import MODEL_SPECS
+
+    spec = MODEL_SPECS["edsr"]
+    assert spec["lr_space"] and not spec["y_only"]
+    assert spec["rf_radius"](4) >= 35
+    m = build_model(ModelConfig(name="edsr", scale=4, channels=3))
+    assert m.scale == 4 and m.num_blocks == 16

@@ -294,34 +294,8 @@ def probe_vdsr_fused():
             "vdsr", 4, (1080, 1920), 1, 1, overrides=ov, iters=6)
         print(f"  {label}: {mps:.1f} MP/s ({dtx*1e3:.2f} ms)", flush=True)
 
-    # fused ESPCN v2 (the round-2 kernel): parity then timing vs bf16 XLA
-    from ml_super_resolution_tpu.kernels.attic.espcn_fused2 import (
-        espcn_fused2_forward,
-        extract_espcn_weights,
-    )
-
-    me = build_model(ModelConfig(name="espcn", scale=4, channels=1))
-    xe = jnp.asarray(
-        np.random.default_rng(1).random((8, 270, 480, 1)), jnp.float32
-    )
-    ve = me.init(jax.random.key(1), xe[:1], train=False)
-    wts = extract_espcn_weights(ve["params"])
-    for bf16 in (True, False):
-        erre = jax.jit(lambda w, inp, _b=bf16: jnp.max(jnp.abs(
-            espcn_fused2_forward(w, inp, 4, bf16=_b)
-            - me.apply(ve, inp, train=False))))(wts, xe)
-        print(f"  espcn-fused2 bf16={bf16} on-device max err: "
-              f"{float(erre):.2e}", flush=True)
-    mpe = 8 * 1080 * 1920 / 1e6
-    dte = bench._iter_time(
-        lambda w, inp: espcn_fused2_forward(w, inp, 4, bf16=True),
-        wts, xe, iters=10)
-    print(f"  espcn-fused2-bf16: {mpe/dte:.1f} MP/s ({dte*1e3:.2f} ms)",
-          flush=True)
-    mps_e, dt_e = bench.bench_model_mps(
-        "espcn", 4, (1080, 1920), 8, 1,
-        overrides={"dtype": jnp.bfloat16}, iters=10)
-    print(f"  espcn-bf16-xla: {mps_e:.1f} MP/s ({dt_e*1e3:.2f} ms)", flush=True)
+    # (the fused ESPCN v2 tail section was removed with the kernel's
+    # retirement to kernels/attic — XLA-bf16 won the ESPCN flagship)
 
 
 @section("k2aot")
