@@ -265,7 +265,7 @@ def _seg_kernel(*refs, cfg):
                 # the next group's matmul running while the copy drains.
                 rolled = pltpu.roll(v, rollback, axis=1)
                 gi_ = jnp.int32(gb // g) - seg // g  # 0-based final group idx
-                slot = jax.lax.rem(gi_, 2) * (g * feat)
+                slot = jax.lax.rem(gi_, jnp.int32(2)) * (g * feat)
                 dst = gbuf.at[pl.ds(slot, g * feat)]
 
                 @pl.when(gi_ >= 2)

@@ -86,6 +86,12 @@ train_chunked r3_srresnet_x4 runs/r3_srresnet_x4 10000 20000 3300 \
   --lr-decay-steps 8000 --lr-decay-rate 0.3 \
   --eval-every 2000 --ckpt-every 5000
 
+guard "edsr x4 (L1, paper geometry 16x48^2 LR), to 20k"
+train_chunked r3_edsr_x4 runs/r3_edsr_x4 10000 20000 3300 \
+  --model edsr --scale 4 --batch-size 16 --device-data --steps-per-call 8 \
+  --lr-decay-steps 10000 --lr-decay-rate 0.5 \
+  --eval-every 2000 --ckpt-every 5000
+
 guard "featurenet (v2 data)"
 with_chip timeout 2400 python -m ml_super_resolution_tpu.cli featurenet \
   --workdir runs/r3_featurenet --steps 2500 --batch-size 32 \

@@ -251,14 +251,23 @@ def probe_vdsr_fused():
                dict(tile_h=32, wc=1024),
                dict(tile_h=16, wc=1024, compact=True),
                dict(tile_h=8, wc=None)]
-    if len(_sys.argv) > 2:  # e.g. `vdsrfused 32,1024,1` = tb,wc,compact
-        tb_, wc_, co_ = _sys.argv[2].split(",")
-        configs = [dict(tile_h=int(tb_), wc=(int(wc_) or None),
-                        compact=co_ == "1")]
+    if len(_sys.argv) > 2:
+        # `vdsrfused 32,1024,1[,g,seg] [48,1024,1,4,5 ...]` = tb,wc,compact
+        configs = []
+        for spec_s in _sys.argv[2:]:
+            parts = spec_s.split(",")
+            kw = dict(tile_h=int(parts[0]), wc=(int(parts[1]) or None),
+                      compact=parts[2] == "1")
+            if len(parts) > 3:
+                kw["group"] = int(parts[3])
+            if len(parts) > 4:
+                kw["max_seg"] = int(parts[4])
+            configs.append(kw)
 
     for kw in configs:
-        label = f"tb{kw['tile_h']}-wc{kw.get('wc')}" + (
-            "-compact" if kw.get("compact") else "")
+        label = (f"tb{kw['tile_h']}-wc{kw.get('wc')}"
+                 f"-g{kw.get('group', 2)}-s{kw.get('max_seg', 4)}" + (
+                     "-compact" if kw.get("compact") else ""))
         fused = jax.jit(lambda p, inp, _kw=kw: vdsr_fused_forward(
             p, inp, interpret=False, **_kw))
         t0 = _t.perf_counter()
@@ -288,6 +297,8 @@ def probe_vdsr_fused():
         )
         print(f"  {label}: {1080*1920/1e6/dt:.1f} MP/s ({dt*1e3:.2f} ms)",
               flush=True)
+    if len(_sys.argv) > 2:  # explicit sweep: skip the known XLA baselines
+        return
     for label, ov in [("vdsr-bf16-xla", {"dtype": jnp.bfloat16}),
                       ("vdsr-f32-xla", None)]:
         mps, dtx = bench.bench_model_mps(
