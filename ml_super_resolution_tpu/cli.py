@@ -28,6 +28,11 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
                    choices=["srcnn", "espcn", "vdsr", "srresnet", "srgan",
                             "edsr"])
     p.add_argument("--scale", type=int, default=2, choices=[2, 3, 4, 8])
+    p.add_argument("--model-arg", action="append", default=[],
+                   metavar="K=V",
+                   help="model hyperparameter override, repeatable (e.g. "
+                        "--model-arg num_blocks=32 --model-arg features=256 "
+                        "--model-arg res_scale=0.1 for full EDSR)")
     p.add_argument("--data", default="", help="HR image dir (synthetic if empty)")
     p.add_argument("--eval-data", default="", help="benchmark set dir")
     p.add_argument("--workdir", default="", help="run dir (ckpts + metrics)")
@@ -100,6 +105,24 @@ _MODEL_DEFAULTS = {
 }
 
 
+def _parse_model_args(pairs) -> dict:
+    """``--model-arg k=v`` values: int, then float, then bool, else str."""
+    out = {}
+    for pair in pairs:
+        k, _, v = pair.partition("=")
+        if not _:
+            raise SystemExit(f"--model-arg expects K=V, got {pair!r}")
+        for cast in (int, float):
+            try:
+                out[k] = cast(v)
+                break
+            except ValueError:
+                continue
+        else:
+            out[k] = {"true": True, "false": False}.get(v.lower(), v)
+    return out
+
+
 def _config_from_args(args) -> "ExperimentConfig":
     from ml_super_resolution_tpu.utils.config import (
         DataConfig,
@@ -117,7 +140,9 @@ def _config_from_args(args) -> "ExperimentConfig":
     # so small-patch models (SRCNN 33²) don't pay for bytes they never crop.
     tile = getattr(args, "tile_size", 0) or min(192, max(2 * patch, 96))
     return ExperimentConfig(
-        model=ModelConfig(name=args.model, scale=args.scale, channels=channels),
+        model=ModelConfig(name=args.model, scale=args.scale, channels=channels,
+                          overrides=_parse_model_args(
+                              getattr(args, "model_arg", []))),
         data=DataConfig(
             train_dir=args.data,
             eval_dir=args.eval_data,

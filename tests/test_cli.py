@@ -174,3 +174,18 @@ def test_dataset_autodiscovery(tmp_path):
         assert discover.resolve_data_arg("/explicit", "train") == "/explicit"
     with mock.patch.object(discover, "_ROOTS", [str(tmp_path / "nope")]):
         assert discover.resolve_data_arg("auto", "train") == ""
+
+
+def test_model_arg_overrides_parse_and_build():
+    from ml_super_resolution_tpu.cli import _parse_model_args
+    from ml_super_resolution_tpu.models import build_model
+    from ml_super_resolution_tpu.utils.config import ModelConfig
+
+    ov = _parse_model_args(
+        ["num_blocks=32", "features=256", "res_scale=0.1", "use_bn=false"])
+    assert ov == {"num_blocks": 32, "features": 256, "res_scale": 0.1,
+                  "use_bn": False}
+    m = build_model(ModelConfig(name="edsr", scale=4, channels=3,
+                                overrides={"num_blocks": 32, "features": 256,
+                                           "res_scale": 0.1}))
+    assert m.num_blocks == 32 and m.features == 256 and m.res_scale == 0.1
