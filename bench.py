@@ -155,11 +155,12 @@ def main():
                   file=sys.stderr)
         except Exception as e:
             print(f"# {label} bench failed: {e}", file=sys.stderr)
-    # NOTE: no bench_vdsr_fused() row.  The whole-net fused VDSR kernel's
-    # Mosaic compile exceeds 25 min on this attach path and blocks inside a
-    # C-level RPC where SIGALRM cannot preempt it — calling it here would
-    # hang the remainder of the bench (measured; see RESULTS.md).  The
-    # kernel stays opt-in via SR_VDSR_FUSED=1.
+    # Whole-net fused VDSR (round-3 default config tb32/wc1024/compact):
+    # compiles in ~7 s on this attach path and beats XLA-bf16 (RESULTS.md).
+    # Round 2's full-width non-compact configs hung >25 min in the remote
+    # compiler — the SIGALRM bound stays as insurance against regressions.
+    with _bounded(300, "vdsr-fused"):
+        bench_vdsr_fused()
     with _bounded(300, "vdsr-pallas-head"):
         bench_vdsr_pallas_head()
     with _bounded(300, "srresnet-folded"):
@@ -264,6 +265,8 @@ def bench_vdsr_fused():
         dtf = _iter_time(fwd, v["params"], x, iters=4)
         print(f"# vdsr-fused-bf16 x4 -> 1080p: {1080*1920/1e6/dtf:.1f} MP/s "
               f"({dtf*1e3:.2f} ms)", file=sys.stderr)
+    except TimeoutError:
+        raise
     except Exception as e:
         print(f"# vdsr-fused bench failed: {e}", file=sys.stderr)
 

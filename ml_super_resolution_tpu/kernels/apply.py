@@ -207,20 +207,21 @@ def pallas_apply_fn(model_name: str, variables, scale: int):
         import os
 
         if (
-            os.environ.get("SR_VDSR_FUSED") == "1"
+            os.environ.get("SR_VDSR_FUSED") != "0"
             and params["Conv_0"]["kernel"].shape[2] == 1
         ):
-            # Whole-net multi-layer fused kernel (kernels/vdsr_fused.py):
-            # golden-tested in interpret mode, but its Mosaic compile on the
-            # current remote-attach path exceeds 25 minutes (measured twice,
-            # never completed within budget), so it is OPT-IN via
-            # SR_VDSR_FUSED=1 rather than the default route.
+            # Whole-net multi-layer fused kernel (kernels/vdsr_fused.py) —
+            # the DEFAULT --pallas vdsr route since round 3: the width-
+            # chunked compact config compiles in ~7 s on the remote attach
+            # path and measures 44.7 MP/s at 1080p x4 vs XLA-bf16's 42.6
+            # (RESULTS.md).  SR_VDSR_FUSED=0 falls back to the K2 head
+            # (e.g. for multi-channel checkpoints, handled below anyway).
             from ml_super_resolution_tpu.kernels.vdsr_fused import (
                 vdsr_fused_forward,
             )
 
             return lambda inp: vdsr_fused_forward(params, inp)
-        # Default: K2 fused residual head (on-device validated, fast compile).
+        # Fallback: K2 fused residual head (on-device validated, fast compile).
         return lambda inp: vdsr_pallas_forward(params, inp)
     if model_name in ("srresnet", "srgan"):
         return lambda inp: srresnet_pallas_forward(

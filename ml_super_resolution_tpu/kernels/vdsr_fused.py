@@ -356,9 +356,9 @@ def vdsr_fused_forward(
     tile_h: int | None = None,
     group: int = 2,
     bf16: bool = True,
-    compact: bool = False,
+    compact: bool = True,
     max_seg: int = 4,
-    wc: int | None = None,
+    wc: int | None = 1024,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Fused VDSR forward.  x: (N, H, W[, 1]) pre-upscaled Y -> (N, H, W, 1).
@@ -399,7 +399,11 @@ def _vdsr_fused(ws, x, tile_h, group, bf16, compact, max_seg, wc, interpret):
     cdt = jnp.bfloat16 if bf16 else jnp.float32
     sizes = _segment_sizes(depth, max_seg)
 
-    tb = tile_h if tile_h is not None else 8
+    # Default config: the measured on-device winner (RESULTS.md round 3):
+    # tb=32/wc=1024/compact at 44.7 MP/s 1080p x4 vs XLA-bf16's 42.6 — and
+    # the largest config the remote Mosaic compiler accepts (span<=40 rows
+    # at <=1152 lanes; everything bigger crashes tpu_compile_helper).
+    tb = tile_h if tile_h is not None else 32
     tb = min(tb, _align(h, 8))
     hp = _align(h, tb)
     nb = hp // tb

@@ -58,29 +58,53 @@ def test_srresnet_no_bn_variant():
 
 
 def test_pallas_apply_fn_routing():
-    # Default vdsr route: K2 fused residual head (f32-exact).
+    # Default vdsr route since round 3: whole-net fused kernel (bf16 matmul
+    # operands — loose tolerance; beats XLA-bf16 on device, RESULTS.md).
     m, v, x = _init("vdsr", 2, 1, overrides={"depth": 4})
     fn = pallas_apply_fn("vdsr", v, 2)
     assert fn is not None
-    np.testing.assert_allclose(
-        np.asarray(fn(x)), np.asarray(m.apply(v, x, train=False)), atol=2e-5
-    )
+    err = np.abs(np.asarray(fn(x)) - np.asarray(m.apply(v, x, train=False)))
+    assert float(err.max()) < 2e-2
     assert pallas_apply_fn("srcnn", v, 2) is None  # no fused path -> flax
 
 
-def test_pallas_apply_fn_vdsr_fused_optin(monkeypatch):
-    # SR_VDSR_FUSED=1 routes Y-protocol vdsr to the whole-net fused kernel
-    # (bf16 matmul operands: loose tolerance).
+def test_pallas_apply_fn_vdsr_fused_optout(monkeypatch):
+    # SR_VDSR_FUSED=0 falls back to the K2 fused residual head (f32-exact).
     m, v, x = _init("vdsr", 2, 1, overrides={"depth": 4})
-    monkeypatch.setenv("SR_VDSR_FUSED", "1")
+    monkeypatch.setenv("SR_VDSR_FUSED", "0")
     fn = pallas_apply_fn("vdsr", v, 2)
-    err = np.abs(np.asarray(fn(x)) - np.asarray(m.apply(v, x, train=False)))
-    assert float(err.max()) < 2e-2
+    np.testing.assert_allclose(
+        np.asarray(fn(x)), np.asarray(m.apply(v, x, train=False)), atol=2e-5
+    )
 
 
-def test_upscale_frames_pallas_vdsr_matches_default():
-    """The product surface: --pallas output == default output (uint8 exact
-    modulo rounding at the quantization boundary)."""
+def test_upscale_frames_pallas_vdsr_matches_default(monkeypatch):
+    """The product surface, K2-head route (SR_VDSR_FUSED=0): --pallas output
+    == default output (uint8 exact modulo rounding at the quantization
+    boundary)."""
+    from ml_super_resolution_tpu.infer import upscale_frames
+
+    monkeypatch.setenv("SR_VDSR_FUSED", "0")
+    m, v, _ = _init("vdsr", 2, 1, overrides={"depth": 4})
+    frames = (np.random.default_rng(3).random((1, 18, 22, 3)) * 255).astype(
+        np.uint8
+    )
+    a = np.asarray(
+        upscale_frames(m, v, jnp.asarray(frames), "vdsr", 2, use_pallas=False)
+    )
+    b = np.asarray(
+        upscale_frames(m, v, jnp.asarray(frames), "vdsr", 2, use_pallas=True)
+    )
+    # the K2 head is f32: identical math up to f32 association; allow 1
+    # uint8 step at quantization boundaries.
+    d = np.abs(a.astype(int) - b.astype(int))
+    assert d.max() <= 1
+    assert (a != b).mean() < 0.01
+
+
+def test_upscale_frames_pallas_vdsr_fused_default_close():
+    """Default --pallas vdsr route (whole-net fused, bf16 operands): output
+    within a few uint8 steps of the f32 XLA path."""
     from ml_super_resolution_tpu.infer import upscale_frames
 
     m, v, _ = _init("vdsr", 2, 1, overrides={"depth": 4})
@@ -93,11 +117,9 @@ def test_upscale_frames_pallas_vdsr_matches_default():
     b = np.asarray(
         upscale_frames(m, v, jnp.asarray(frames), "vdsr", 2, use_pallas=True)
     )
-    # default --pallas vdsr route is the f32 K2 head: identical math up to
-    # f32 association; allow 1 uint8 step at quantization boundaries.
     d = np.abs(a.astype(int) - b.astype(int))
-    assert d.max() <= 1
-    assert (a != b).mean() < 0.01
+    assert d.max() <= 5  # bf16 activation rounding, PSNR-irrelevant
+    assert d.mean() < 1.0
 
 
 @pytest.mark.parametrize("scale", [2, 4])
