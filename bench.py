@@ -40,9 +40,13 @@ def _iter_time(apply_fn, variables, x, iters: int = 20, repeats: int = 3):
         def loop(v, inp):
             def body(i, acc):
                 # i-dependent input perturbation: prevents loop-invariant
-                # code motion from hoisting the model call (cost: one VPU add)
-                out = apply_fn(v, inp + jnp.float32(1e-30) * i)
-                return acc + jnp.mean(out)
+                # code motion from hoisting the model call (cost: one VPU
+                # add).  Cast to the input dtype: a bare f32 scalar would
+                # promote bf16 inputs to f32 and change what's measured
+                # (observed: dtype-mismatch failures in raw-conv bf16 rows).
+                eps = (jnp.float32(1e-30) * i).astype(inp.dtype)
+                out = apply_fn(v, inp + eps)
+                return acc + jnp.float32(jnp.mean(out))
 
             return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
@@ -131,6 +135,9 @@ def main():
         ("srresnet-bf16-b4", dict(name="srresnet", scale=4, out_hw=(1080, 1920),
                                   batch=4, channels=3,
                                   overrides={"dtype": "bf16"})),
+        ("edsr-bf16-b4", dict(name="edsr", scale=4, out_hw=(1080, 1920),
+                              batch=4, channels=3,
+                              overrides={"dtype": "bf16"})),
         ("vdsr", dict(name="vdsr", scale=4, out_hw=(1080, 1920), batch=1,
                       channels=1)),
         ("vdsr-bf16", dict(name="vdsr", scale=4, out_hw=(1080, 1920), batch=1,

@@ -44,12 +44,16 @@ def _conv(x, p, stride: int = 1):
 
 def _bn(x, p, s, eps: float = 1e-5):
     # flax BatchNorm inference: normalize by running stats, then affine.
+    # Params are stored f32; cast to the activation dtype so a bf16 trunk
+    # stays bf16 (an f32 param would promote x and break the next conv).
+    dt = x.dtype
     inv = jax.lax.rsqrt(s["var"] + eps)
-    return (x - s["mean"]) * inv * p["scale"] + p["bias"]
+    return ((x - s["mean"].astype(dt)) * inv.astype(dt) * p["scale"].astype(dt)
+            + p["bias"].astype(dt))
 
 
 def _prelu(x, p):
-    return jnp.where(x >= 0, x, p["negative_slope"] * x)
+    return jnp.where(x >= 0, x, p["negative_slope"].astype(x.dtype) * x)
 
 
 @jax.jit
