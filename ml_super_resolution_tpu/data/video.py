@@ -1,0 +1,202 @@
+"""YUV4MPEG2 (``.y4m``) container I/O — the video leg of the upscale flow.
+
+SURVEY §2a/§3.3 lists video frames as part of the reference's upscale
+surface; round-2 VERDICT ("What's missing" #4) noted the rebuild handled
+only frames-directories.  This module closes that gap with the one video
+container that needs **no codec**: Y4M is raw planar YCbCr behind a
+one-line ASCII header, so it is fully parseable in a zero-egress
+environment (``ffmpeg -i in.mp4 out.y4m`` / ``-i in.y4m out.mp4`` converts
+losslessly wherever codecs exist).
+
+Y4M is also the *natural* SR container: frames arrive as BT.601
+studio-swing YCbCr planes — exactly the space the SISR protocol's
+Y-channel models train in (``ops/color.py``) — so the luma plane feeds the
+network directly with zero color conversion, and 4:2:0 chroma subsampling
+is preserved end-to-end (chroma planes are protocol-bicubic-upscaled at
+their own resolution; see ``cli.cmd_upscale``).
+
+Format (see the mjpegtools y4m spec):
+
+    YUV4MPEG2 W<w> H<h> F<n>:<d> [I<p|t|b|m>] [A<n>:<d>] [C<space>] [X...]\n
+    FRAME[ params]\n  <Y plane> <Cb plane> <Cr plane>   (repeated)
+
+Supported colorspaces: C420 family (jpeg/mpeg2/paldv — identical plane
+geometry, differing only in chroma *siting*, which bicubic resampling does
+not model; the tag is preserved verbatim), C422, C444, Cmono.
+"""
+
+from __future__ import annotations
+
+import io
+from dataclasses import dataclass
+from pathlib import Path
+
+import numpy as np
+
+__all__ = ["Y4MReader", "Y4MWriter", "Y4MMeta"]
+
+_MAGIC = b"YUV4MPEG2"
+
+# colorspace tag -> (chroma width divisor, chroma height divisor); None = no chroma
+_CHROMA_DIV = {
+    "C420": (2, 2), "C420jpeg": (2, 2), "C420mpeg2": (2, 2),
+    "C420paldv": (2, 2), "C422": (2, 1), "C444": (1, 1), "Cmono": None,
+}
+
+
+@dataclass(frozen=True)
+class Y4MMeta:
+    """Stream header parameters (tags preserved verbatim for re-emission)."""
+
+    width: int
+    height: int
+    rate: str = "30:1"       # F tag value, "num:den"
+    interlace: str = "p"     # I tag value
+    aspect: str = "0:0"      # A tag value ("0:0" = unknown, per spec)
+    colorspace: str = "C420jpeg"
+
+    @property
+    def chroma_div(self):
+        return _CHROMA_DIV[self.colorspace]
+
+    def plane_shapes(self):
+        """((H, W) luma, (Hc, Wc) chroma-or-None) for one frame."""
+        div = self.chroma_div
+        if div is None:
+            return (self.height, self.width), None
+        dx, dy = div
+        return (self.height, self.width), (self.height // dy, self.width // dx)
+
+
+def _parse_header(line: bytes) -> Y4MMeta:
+    parts = line.decode("ascii", "replace").split()
+    if not parts or parts[0].encode() != _MAGIC:
+        raise ValueError("not a YUV4MPEG2 stream (bad magic)")
+    kw = {"rate": "30:1", "interlace": "p", "aspect": "0:0",
+          "colorspace": "C420jpeg"}
+    w = h = None
+    for tok in parts[1:]:
+        tag, val = tok[0], tok[1:]
+        if tag == "W":
+            w = int(val)
+        elif tag == "H":
+            h = int(val)
+        elif tag == "F":
+            kw["rate"] = val
+        elif tag == "I":
+            kw["interlace"] = val
+        elif tag == "A":
+            kw["aspect"] = val
+        elif tag == "C":
+            if tok not in _CHROMA_DIV:
+                raise ValueError(f"unsupported Y4M colorspace {tok!r} "
+                                 f"(supported: {sorted(_CHROMA_DIV)})")
+            kw["colorspace"] = tok
+        # X (extension) and unknown tags: ignored
+    if w is None or h is None:
+        raise ValueError("Y4M header missing W/H")
+    meta = Y4MMeta(width=w, height=h, **kw)
+    div = meta.chroma_div
+    if div is not None and (w % div[0] or h % div[1]):
+        raise ValueError(
+            f"{meta.colorspace} needs dimensions divisible by {div}, "
+            f"got {w}x{h}")
+    return meta
+
+
+class Y4MReader:
+    """Iterate ``(y, cb, cr)`` uint8 planes from a ``.y4m`` file.
+
+    ``cb``/``cr`` are ``None`` for Cmono streams.  Planes are 2D
+    ``(H, W)`` / ``(Hc, Wc)`` arrays; stream metadata is on ``.meta``.
+    """
+
+    def __init__(self, path: str | Path):
+        self._f = open(path, "rb")
+        try:
+            self.meta = _parse_header(self._readline())
+        except Exception:
+            self._f.close()
+            raise
+
+    def _readline(self) -> bytes:
+        line = self._f.readline(4096)
+        if not line.endswith(b"\n"):
+            raise ValueError("Y4M: unterminated header line")
+        return line[:-1]
+
+    def _read_plane(self, shape):
+        n = shape[0] * shape[1]
+        buf = self._f.read(n)
+        if len(buf) != n:
+            raise ValueError("Y4M: truncated frame")
+        return np.frombuffer(buf, np.uint8).reshape(shape)
+
+    def __iter__(self):
+        luma_hw, chroma_hw = self.meta.plane_shapes()
+        while True:
+            line = self._f.readline(4096)
+            if not line:
+                return
+            if not line.startswith(b"FRAME"):
+                raise ValueError(f"Y4M: expected FRAME marker, got {line[:20]!r}")
+            y = self._read_plane(luma_hw)
+            if chroma_hw is None:
+                yield y, None, None
+            else:
+                cb = self._read_plane(chroma_hw)
+                cr = self._read_plane(chroma_hw)
+                yield y, cb, cr
+
+    def close(self):
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class Y4MWriter:
+    """Write a ``.y4m`` stream frame by frame."""
+
+    def __init__(self, path: str | Path, meta: Y4MMeta):
+        if meta.colorspace not in _CHROMA_DIV:
+            raise ValueError(f"unsupported colorspace {meta.colorspace!r}")
+        div = meta.chroma_div
+        if div is not None and (meta.width % div[0] or meta.height % div[1]):
+            raise ValueError(
+                f"{meta.colorspace} needs dimensions divisible by {div}, "
+                f"got {meta.width}x{meta.height}")
+        self.meta = meta
+        self._f: io.BufferedWriter = open(path, "wb")
+        hdr = (f"YUV4MPEG2 W{meta.width} H{meta.height} F{meta.rate} "
+               f"I{meta.interlace} A{meta.aspect} {meta.colorspace}\n")
+        self._f.write(hdr.encode("ascii"))
+
+    def write(self, y: np.ndarray, cb: np.ndarray | None = None,
+              cr: np.ndarray | None = None):
+        luma_hw, chroma_hw = self.meta.plane_shapes()
+        y = np.ascontiguousarray(y, np.uint8)
+        if y.shape != luma_hw:
+            raise ValueError(f"luma shape {y.shape} != {luma_hw}")
+        self._f.write(b"FRAME\n")
+        self._f.write(y.tobytes())
+        if chroma_hw is not None:
+            if cb is None or cr is None:
+                raise ValueError(f"{self.meta.colorspace} frame needs cb+cr")
+            for p in (cb, cr):
+                p = np.ascontiguousarray(p, np.uint8)
+                if p.shape != chroma_hw:
+                    raise ValueError(f"chroma shape {p.shape} != {chroma_hw}")
+                self._f.write(p.tobytes())
+
+    def close(self):
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

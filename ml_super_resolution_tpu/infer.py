@@ -18,11 +18,85 @@ from ml_super_resolution_tpu.ops.color import rgb_to_ycbcr, ycbcr_to_rgb
 from ml_super_resolution_tpu.ops.resize import imresize
 from ml_super_resolution_tpu.parallel.tiling import tiled_apply, tiled_apply_2d
 
-__all__ = ["upscale_frames", "upscale_image"]
+__all__ = ["upscale_frames", "upscale_image", "upscale_luma_frames"]
 
 
 def _network_input(y_or_rgb: jnp.ndarray, scale: int, lr_space: bool) -> jnp.ndarray:
     return y_or_rgb if lr_space else imresize(y_or_rgb, scale=float(scale))
+
+
+def _replicate_over_mesh(variables, mesh):
+    """params may be committed to a single device; replicate them over the
+    tiling mesh so the shard_map closure sees mesh-consistent operands."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    return jax.device_put(variables, NamedSharding(mesh, PartitionSpec()))
+
+
+def _make_apply_fn(model, variables, model_name: str, scale: int,
+                   use_pallas: bool, tiled: bool):
+    """Forward closure: XLA by default; Pallas-routed when requested."""
+    if use_pallas:
+        spec = MODEL_SPECS[model_name]
+        if model_name == "espcn" and spec["y_only"] and not tiled:
+            from ml_super_resolution_tpu.kernels.espcn_fused import (
+                espcn_fused_forward,
+                extract_espcn_weights,
+            )
+
+            fused_weights = extract_espcn_weights(variables["params"])
+            return lambda inp: espcn_fused_forward(fused_weights, inp, scale)
+        # K1/K2-routed forwards (vdsr, srresnet, srgan) — kernels are
+        # shape-generic, so they also run per-shard under tiling.
+        from ml_super_resolution_tpu.kernels.apply import pallas_apply_fn
+
+        return pallas_apply_fn(model_name, variables, scale)
+    return lambda inp: model.apply(variables, inp, train=False)
+
+
+def _apply_net(apply_fn, net_in: jnp.ndarray, mesh, net_halo: int,
+               net_scale: int) -> jnp.ndarray:
+    """Run the conv stack whole-frame, or row/column-band tiled with halo
+    exchange over the mesh's ``space``/``space_w`` axes (pad + exact edge
+    fixup for indivisible sizes — bitwise-identical to whole-frame)."""
+    nsp = mesh.shape.get("space", 1) if mesh is not None else 1
+    nsw = mesh.shape.get("space_w", 1) if mesh is not None else 1
+    h, w = net_in.shape[1:3]
+    pad_h = (-h) % nsp if nsp > 1 else 0
+    pad_w = (-w) % nsw if nsw > 1 else 0
+    ok_h = nsp <= 1 or (h + pad_h) // nsp >= 2 * net_halo
+    ok_w = nsw <= 1 or (w + pad_w) // nsw >= 2 * net_halo
+    if not ((nsp > 1 or nsw > 1) and ok_h and ok_w):
+        # frame too small to tile at this halo, or no spatial axes: whole
+        return apply_fn(net_in)
+    net_in_p = (
+        jnp.pad(net_in, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+        if (pad_h or pad_w)
+        else net_in
+    )
+    if nsw > 1:
+        sr = tiled_apply_2d(apply_fn, net_in_p, mesh, halo=net_halo, scale=net_scale)
+    else:
+        sr = tiled_apply(apply_fn, net_in_p, mesh, halo=net_halo, scale=net_scale)
+    sr = sr[:, : h * net_scale, : w * net_scale]
+    # Zero-padding is not SAME padding once convs stack: the last
+    # ``halo`` real rows/cols saw pad-region activations.  Recompute
+    # them exactly with short whole-frame strips whose far edge is the
+    # true frame edge (the strips run over the *unpadded* input, so the
+    # bottom-right corner is exact in both).
+    fix = net_halo * net_scale
+    if pad_h:
+        strip = apply_fn(net_in[:, h - min(h, 2 * net_halo) :])
+        sr = jnp.concatenate(
+            [sr[:, : (h - net_halo) * net_scale], strip[:, -fix:]], axis=1
+        )
+    if pad_w:
+        strip = apply_fn(net_in[:, :, w - min(w, 2 * net_halo) :])
+        sr = jnp.concatenate(
+            [sr[:, :, : (w - net_halo) * net_scale], strip[:, :, -fix:]],
+            axis=2,
+        )
+    return sr
 
 
 def upscale_frames(
@@ -46,12 +120,9 @@ def upscale_frames(
     lr_space = spec["lr_space"]
     halo = spec["rf_radius"](scale)
 
-    if mesh is not None and mesh.shape.get("space", 1) > 1:
-        # params may be committed to a single device; replicate them over the
-        # tiling mesh so the shard_map closure sees mesh-consistent operands
-        from jax.sharding import NamedSharding, PartitionSpec
-
-        variables = jax.device_put(variables, NamedSharding(mesh, PartitionSpec()))
+    tiled = mesh is not None and mesh.shape.get("space", 1) > 1
+    if tiled:
+        variables = _replicate_over_mesh(variables, mesh)
 
     x = frames_u8.astype(jnp.float32) / 255.0
 
@@ -63,81 +134,48 @@ def upscale_frames(
         net_in = _network_input(x, scale, lr_space)
         chroma = None
 
-    tiled = mesh is not None and mesh.shape.get("space", 1) > 1
-    apply_fn = None
-    if use_pallas:
-        if model_name == "espcn" and y_only and not tiled:
-            from ml_super_resolution_tpu.kernels.espcn_fused import (
-                espcn_fused_forward,
-                extract_espcn_weights,
-            )
-
-            fused_weights = extract_espcn_weights(variables["params"])
-
-            def apply_fn(inp):
-                return espcn_fused_forward(fused_weights, inp, scale)
-
-        else:
-            # K1/K2-routed forwards (vdsr, srresnet, srgan) — kernels are
-            # shape-generic, so they also run per-shard under tiling.
-            from ml_super_resolution_tpu.kernels.apply import pallas_apply_fn
-
-            apply_fn = pallas_apply_fn(model_name, variables, scale)
-    if apply_fn is None:
-
-        def apply_fn(inp):
-            return model.apply(variables, inp, train=False)
-
-    net_scale = scale if lr_space else 1
-    net_halo = halo
-    nsp = mesh.shape.get("space", 1) if mesh is not None else 1
-    nsw = mesh.shape.get("space_w", 1) if mesh is not None else 1
-    h, w = net_in.shape[1:3]
-    pad_h = (-h) % nsp if nsp > 1 else 0
-    pad_w = (-w) % nsw if nsw > 1 else 0
-    ok_h = nsp <= 1 or (h + pad_h) // nsp >= 2 * net_halo
-    ok_w = nsw <= 1 or (w + pad_w) // nsw >= 2 * net_halo
-    if (nsp > 1 or nsw > 1) and ok_h and ok_w:
-        net_in_p = (
-            jnp.pad(net_in, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
-            if (pad_h or pad_w)
-            else net_in
-        )
-        if nsw > 1:
-            sr = tiled_apply_2d(
-                apply_fn, net_in_p, mesh, halo=net_halo, scale=net_scale
-            )
-        else:
-            sr = tiled_apply(
-                apply_fn, net_in_p, mesh, halo=net_halo, scale=net_scale
-            )
-        sr = sr[:, : h * net_scale, : w * net_scale]
-        # Zero-padding is not SAME padding once convs stack: the last
-        # ``halo`` real rows/cols saw pad-region activations.  Recompute
-        # them exactly with short whole-frame strips whose far edge is the
-        # true frame edge (the strips run over the *unpadded* input, so the
-        # bottom-right corner is exact in both).
-        fix = net_halo * net_scale
-        if pad_h:
-            strip = apply_fn(net_in[:, h - min(h, 2 * net_halo) :])
-            sr = jnp.concatenate(
-                [sr[:, : (h - net_halo) * net_scale], strip[:, -fix:]], axis=1
-            )
-        if pad_w:
-            strip = apply_fn(net_in[:, :, w - min(w, 2 * net_halo) :])
-            sr = jnp.concatenate(
-                [sr[:, :, : (w - net_halo) * net_scale], strip[:, :, -fix:]],
-                axis=2,
-            )
-    else:
-        # frame too small to tile at this halo, or no spatial axes: whole
-        sr = apply_fn(net_in)
+    apply_fn = _make_apply_fn(model, variables, model_name, scale, use_pallas,
+                              tiled)
+    sr = _apply_net(apply_fn, net_in, mesh, halo, scale if lr_space else 1)
 
     if y_only:
         out = ycbcr_to_rgb(jnp.concatenate([sr, chroma], axis=-1))
     else:
         out = sr
     return jnp.round(jnp.clip(out, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
+
+def upscale_luma_frames(
+    model,
+    variables,
+    luma_u8: jnp.ndarray,
+    model_name: str,
+    scale: int,
+    mesh=None,
+    use_pallas: bool = False,
+) -> jnp.ndarray:
+    """Upscale a batch of raw luma planes ``(N, h, w, 1)`` uint8 -> HR uint8.
+
+    The Y4M video path (``data/video.py``): frames already arrive as BT.601
+    studio-swing Y planes — the exact space Y-channel models train in — so
+    the network consumes them with no color conversion.  Chroma is handled
+    by the caller at its own subsampled resolution.  Y-only models only.
+    """
+    spec = MODEL_SPECS[model_name]
+    if not spec["y_only"]:
+        raise ValueError(
+            f"{model_name} is an RGB model; convert planes via ops.color "
+            "and use upscale_frames")
+    tiled = mesh is not None and mesh.shape.get("space", 1) > 1
+    if tiled:
+        variables = _replicate_over_mesh(variables, mesh)
+    net_in = _network_input(
+        luma_u8.astype(jnp.float32) / 255.0, scale, spec["lr_space"])
+    apply_fn = _make_apply_fn(model, variables, model_name, scale, use_pallas,
+                              tiled)
+    sr = _apply_net(apply_fn, net_in, mesh, spec["rf_radius"](scale),
+                    scale if spec["lr_space"] else 1)
+    return jnp.round(jnp.clip(sr, 0.0, 1.0) * 255.0).astype(jnp.uint8)
 
 
 def upscale_image(
