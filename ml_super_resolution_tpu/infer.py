@@ -51,7 +51,25 @@ def _make_apply_fn(model, variables, model_name: str, scale: int,
         from ml_super_resolution_tpu.kernels.apply import pallas_apply_fn
 
         return pallas_apply_fn(model_name, variables, scale)
+    if model_name in ("srresnet", "srgan") and _env_on("SR_FOLDED_TAIL"):
+        # Default srresnet/srgan inference is the folded-tail recast
+        # (kernels/apply.py): exact weight rearrangement, identical
+        # receptive field, measured 3.6x the whole-net XLA path on-device
+        # (the HR 9x9x64->3 tail was ~70% of frame time at 3/128 MXU
+        # lanes).  SR_FOLDED_TAIL=0 restores the plain flax apply.
+        from ml_super_resolution_tpu.kernels.apply import (
+            srresnet_folded_forward,
+        )
+
+        return lambda inp: srresnet_folded_forward(
+            variables["params"], variables.get("batch_stats", {}), inp, scale)
     return lambda inp: model.apply(variables, inp, train=False)
+
+
+def _env_on(name: str, default: str = "1") -> bool:
+    import os
+
+    return os.environ.get(name, default) not in ("0", "false", "")
 
 
 def _apply_net(apply_fn, net_in: jnp.ndarray, mesh, net_halo: int,

@@ -136,3 +136,22 @@ def test_srresnet_folded_tail_matches_flax(scale):
     out = np.asarray(srresnet_folded_forward(
         v["params"], v.get("batch_stats", {}), x, scale))
     np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_upscale_frames_default_srresnet_route_is_folded(monkeypatch):
+    """The default srresnet upscale path is the folded-tail recast; it must
+    match the plain flax route (SR_FOLDED_TAIL=0) to uint8 rounding."""
+    from ml_super_resolution_tpu.infer import upscale_frames
+
+    m, v, _ = _init("srresnet", 4, 3, overrides={"num_blocks": 2})
+    frames = (np.random.default_rng(4).random((1, 16, 20, 3)) * 255).astype(
+        np.uint8
+    )
+    folded = np.asarray(
+        upscale_frames(m, v, jnp.asarray(frames), "srresnet", 4)
+    )
+    monkeypatch.setenv("SR_FOLDED_TAIL", "0")
+    flax = np.asarray(
+        upscale_frames(m, v, jnp.asarray(frames), "srresnet", 4)
+    )
+    assert np.abs(folded.astype(int) - flax.astype(int)).max() <= 1
