@@ -172,6 +172,8 @@ def main():
         bench_vdsr_pallas_head()
     with _bounded(300, "srresnet-folded"):
         bench_srresnet_folded()
+    with _bounded(300, "edsr-folded"):
+        bench_edsr_folded()
     with _bounded(300, "serve-load"):
         bench_serve_load()
     bench_host_ingest()
@@ -339,6 +341,38 @@ def bench_srresnet_folded(batches=(1, 4)):
         raise
     except Exception as e:
         print(f"# srresnet-folded bench failed: {e}", file=sys.stderr)
+
+
+def bench_edsr_folded(batches=(1, 4)):
+    """EDSR with the tail conv folded into pre-shuffle space (same recast
+    as srresnet_folded — the 3x3 feat->3 HR tail is equally lane-starved)."""
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        from ml_super_resolution_tpu.kernels.apply import edsr_folded_forward
+        from ml_super_resolution_tpu.models import build_model
+        from ml_super_resolution_tpu.utils.config import ModelConfig
+
+        m = build_model(ModelConfig(name="edsr", scale=4, channels=3))
+        for nb in batches:
+            x = jnp.asarray(
+                np.random.default_rng(0).random((nb, 270, 480, 3)), jnp.float32
+            )
+            v = m.init(jax.random.key(0), x[:1], train=False)
+
+            def fwd(var, inp):
+                return edsr_folded_forward(
+                    var["params"], inp, 4, dtype=jnp.bfloat16)
+
+            dtf = _iter_time(fwd, v, x, iters=5)
+            mp = nb * 1080 * 1920 / 1e6
+            print(f"# edsr-folded-bf16-b{nb} x4 -> 1080p: {mp/dtf:.1f} MP/s "
+                  f"({dtf*1e3:.2f} ms)", file=sys.stderr)
+    except TimeoutError:
+        raise
+    except Exception as e:
+        print(f"# edsr-folded bench failed: {e}", file=sys.stderr)
 
 
 def bench_serve_load(clients: int = 4, per_client: int = 25):

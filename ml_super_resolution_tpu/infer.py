@@ -51,6 +51,12 @@ def _make_apply_fn(model, variables, model_name: str, scale: int,
         from ml_super_resolution_tpu.kernels.apply import pallas_apply_fn
 
         return pallas_apply_fn(model_name, variables, scale)
+    if model_name == "edsr" and _env_on("SR_FOLDED_TAIL"):
+        from ml_super_resolution_tpu.kernels.apply import edsr_folded_forward
+
+        return lambda inp: edsr_folded_forward(
+            variables["params"], inp, scale,
+            res_scale=float(getattr(model, "res_scale", 1.0)))
     if model_name in ("srresnet", "srgan") and _env_on("SR_FOLDED_TAIL"):
         # Default srresnet/srgan inference is the folded-tail recast
         # (kernels/apply.py): exact weight rearrangement, identical

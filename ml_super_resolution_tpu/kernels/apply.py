@@ -117,10 +117,24 @@ def fold_tail_weights(w9: jnp.ndarray, r: int):
     HR 64-channel activation is never materialized.  SAME zero-padding maps
     exactly (PS of zeros is zeros), so the fold is bit-faithful modulo conv
     summation order.
+
+    The derivation needs a symmetric pre-shuffle kernel: k2 must be odd
+    with k-1 == r*(k2-1).  Kernels that don't line up (e.g. 3x3 under r=2,
+    9x9 under r=3) are zero-padded up to the next size that does — exact,
+    since the padded taps are zero.  (Without this, r=3 silently DROPPED
+    out-of-range .at[] writes and the fold was wrong — caught by the
+    scale-3 golden.)
     """
+    k = w9.shape[0]
+    kp = k
+    while (kp - 1) % r or (((kp - 1) // r + 1) % 2 == 0):
+        kp += 2
+    if kp != k:
+        p = (kp - k) // 2
+        w9 = jnp.pad(w9, ((p, p), (p, p), (0, 0), (0, 0)))
     k, _, cin, cout = w9.shape
     half = k // 2
-    k2 = k // r + 1
+    k2 = (k - 1) // r + 1
     h2 = k2 // 2
     w = jnp.zeros((k2, k2, cin * r * r, cout * r * r), w9.dtype)
     for a in range(r):
@@ -202,6 +216,51 @@ def srresnet_folded_forward(params, batch_stats, x, scale: int,
         z, wf.astype(dtype), (1, 1), "SAME", dimension_numbers=dn
     ) + jnp.tile(tail["bias"], r * r).astype(dtype)
     return pixel_shuffle(out, r).astype(jnp.float32)
+
+
+def edsr_folded_forward(params, x, scale: int, res_scale: float = 1.0,
+                        dtype=jnp.float32):
+    """EDSR inference with the tail conv folded into pre-shuffle space
+    (models/edsr.py; same recast as srresnet_folded_forward).  EDSR's tail
+    is 3x3 feat->channels at HR — the same 3-of-128-lane MXU starvation as
+    SRResNet's 9x9, and the fold also skips materializing the HR feat-ch
+    activation.  No BN and no activation in the upsample stages, so the
+    fold needs no PReLU commutation.  Pure XLA."""
+    from ml_super_resolution_tpu.models.srresnet import _upsample_stages
+    from ml_super_resolution_tpu.ops.pixel_shuffle import pixel_shuffle
+
+    def conv(y, p, w=None):
+        w = p["kernel"] if w is None else w
+        dn = jax.lax.conv_dimension_numbers(
+            y.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+        return jax.lax.conv_general_dilated(
+            y, w.astype(dtype), (1, 1), "SAME", dimension_numbers=dn
+        ) + p["bias"].astype(dtype)
+
+    x = x.astype(dtype) - jnp.asarray(0.5, dtype)
+    head = conv(x, params["Conv_0"])
+    y = head
+    nblocks = sum(1 for k in params if k.startswith("_EDSRBlock_"))
+    for i in range(nblocks):
+        bp = params[f"_EDSRBlock_{i}"]
+        z = conv(jnp.maximum(conv(y, bp["Conv_0"]), 0), bp["Conv_1"])
+        if res_scale != 1.0:
+            z = z * jnp.asarray(res_scale, z.dtype)
+        y = y + z
+    y = conv(y, params["Conv_1"]) + head  # long skip
+    stages = _upsample_stages(scale)
+    for j, r in enumerate(stages[:-1]):
+        y = pixel_shuffle(conv(y, params[f"ICNRConvPixelShuffle_{j}"]["Conv_0"]), r)
+    r = stages[-1]
+    z = conv(y, params[f"ICNRConvPixelShuffle_{len(stages) - 1}"]["Conv_0"])
+    tail = params["Conv_2"]
+    wf = fold_tail_weights(tail["kernel"], r)
+    dn = jax.lax.conv_dimension_numbers(
+        z.shape, wf.shape, ("NHWC", "HWIO", "NHWC"))
+    out = jax.lax.conv_general_dilated(
+        z, wf.astype(dtype), (1, 1), "SAME", dimension_numbers=dn
+    ) + jnp.tile(tail["bias"], r * r).astype(dtype)
+    return (pixel_shuffle(out, r) + jnp.asarray(0.5, dtype)).astype(jnp.float32)
 
 
 def pallas_apply_fn(model_name: str, variables, scale: int):

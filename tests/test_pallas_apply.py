@@ -122,7 +122,7 @@ def test_upscale_frames_pallas_vdsr_fused_default_close():
     assert d.mean() < 1.0
 
 
-@pytest.mark.parametrize("scale", [2, 4])
+@pytest.mark.parametrize("scale", [2, 3, 4])
 def test_srresnet_folded_tail_matches_flax(scale):
     """Folded-tail inference (tail conv computed pre-shuffle; kernels/apply.py
     fold_tail_weights) == flax apply to f32 tolerance."""
@@ -155,3 +155,21 @@ def test_upscale_frames_default_srresnet_route_is_folded(monkeypatch):
         upscale_frames(m, v, jnp.asarray(frames), "srresnet", 4)
     )
     assert np.abs(folded.astype(int) - flax.astype(int)).max() <= 1
+
+
+@pytest.mark.parametrize("scale,res_scale", [(2, 1.0), (3, 1.0), (4, 0.1)])
+def test_edsr_folded_tail_matches_flax(scale, res_scale):
+    """EDSR folded-tail inference == flax apply (incl. the r=3 fold, which
+    needs the kernel zero-pad to keep the pre-shuffle kernel symmetric)."""
+    from ml_super_resolution_tpu.kernels.apply import edsr_folded_forward
+
+    m = build_model(ModelConfig(name="edsr", scale=scale, channels=3,
+                                overrides={"num_blocks": 2,
+                                           "res_scale": res_scale}))
+    x = jnp.asarray(np.random.default_rng(5).random((1, 12, 14, 3)),
+                    jnp.float32)
+    v = m.init(jax.random.key(5), x, train=False)
+    ref = np.asarray(m.apply(v, x, train=False))
+    out = np.asarray(edsr_folded_forward(v["params"], x, scale,
+                                         res_scale=res_scale))
+    np.testing.assert_allclose(out, ref, atol=1e-4)
