@@ -316,6 +316,18 @@ def cmd_upscale(args) -> int:
     from ml_super_resolution_tpu.parallel.mesh import make_mesh
 
     trainer, state, step, cfg = _load_run(args.workdir, best=getattr(args, "best", False))
+    model = trainer.model
+    if getattr(args, "bf16", False):
+        # bf16 compute trunk (params stay f32; flax casts per-op) — the
+        # fastest measured configuration at quality parity, same swap the
+        # serve endpoint uses.  Folded-tail routes inherit the dtype.
+        import dataclasses as _dc2
+
+        from ml_super_resolution_tpu.models import build_model as _bm
+
+        ov = dict(cfg.model.overrides)
+        ov["dtype"] = jnp.bfloat16
+        model = _bm(_dc2.replace(cfg.model, overrides=ov))
     variables = {"params": trainer.eval_params(state)}
     if state.batch_stats:
         variables["batch_stats"] = state.batch_stats
@@ -326,7 +338,7 @@ def cmd_upscale(args) -> int:
 
     in_path, out_path = Path(args.input), Path(args.output)
     if in_path.suffix.lower() == ".y4m":
-        return _upscale_y4m(args, trainer, variables, cfg, mesh, in_path,
+        return _upscale_y4m(args, model, variables, cfg, mesh, in_path,
                             out_path, step)
     if in_path.is_dir():
         # video-as-frames directory (SURVEY §3.3): batch same-size frames
@@ -342,12 +354,12 @@ def cmd_upscale(args) -> int:
             chunk = frames[i : i + batch]
             if len({f.shape for f in chunk}) == 1:
                 sr = np.asarray(upscale_frames(
-                    trainer.model, variables, jnp.asarray(np.stack(chunk)),
+                    model, variables, jnp.asarray(np.stack(chunk)),
                     cfg.model.name, cfg.model.scale, mesh=mesh,
                     use_pallas=args.pallas,
                 ))
             else:  # mixed sizes: per frame
-                sr = [upscale_image(trainer.model, variables, f,
+                sr = [upscale_image(model, variables, f,
                                     cfg.model.name, cfg.model.scale, mesh=mesh)
                       for f in chunk]
             for j, img in enumerate(sr):
@@ -359,7 +371,7 @@ def cmd_upscale(args) -> int:
 
     img = np.asarray(Image.open(in_path).convert("RGB"))
     sr = upscale_image(
-        trainer.model, variables, img, cfg.model.name, cfg.model.scale, mesh=mesh
+        model, variables, img, cfg.model.name, cfg.model.scale, mesh=mesh
     )
     Image.fromarray(sr).save(out_path)
     print(json.dumps({
@@ -369,7 +381,7 @@ def cmd_upscale(args) -> int:
     return 0
 
 
-def _upscale_y4m(args, trainer, variables, cfg, mesh, in_path, out_path,
+def _upscale_y4m(args, model, variables, cfg, mesh, in_path, out_path,
                  step) -> int:
     """Video-container upscale: Y4M in -> Y4M out (see data/video.py).
 
@@ -410,7 +422,7 @@ def _upscale_y4m(args, trainer, variables, cfg, mesh, in_path, out_path,
                 ys = jnp.asarray(np.stack([f[0] for f in batch]))[..., None]
                 if y_only:
                     sr_y = np.asarray(upscale_luma_frames(
-                        trainer.model, variables, ys, name, scale, mesh=mesh,
+                        model, variables, ys, name, scale, mesh=mesh,
                         use_pallas=args.pallas))[..., 0]
                     if mono:
                         cbcr_sr = [(None, None)] * len(batch)
@@ -437,7 +449,7 @@ def _upscale_y4m(args, trainer, variables, cfg, mesh, in_path, out_path,
                         rgb = to_u8(ycbcr_to_rgb(
                             jnp.concatenate([y, cbcr_full], axis=-1)))
                     sr_rgb = upscale_frames(
-                        trainer.model, variables, jnp.asarray(rgb), name,
+                        model, variables, jnp.asarray(rgb), name,
                         scale, mesh=mesh, use_pallas=args.pallas)
                     out_ycc = to_u8(rgb_to_ycbcr(
                         sr_rgb.astype(jnp.float32) / 255.0))
@@ -587,6 +599,9 @@ def main(argv=None) -> int:
                       help="frames per device batch for directory input")
     p_up.add_argument("--pallas", action="store_true",
                       help="fused Pallas inference kernel (ESPCN)")
+    p_up.add_argument("--bf16", action="store_true",
+                      help="bfloat16 compute trunk (params stay f32) — "
+                           "fastest measured config at quality parity")
     p_up.set_defaults(fn=cmd_upscale)
 
     p_serve = sub.add_parser("serve", help="HTTP upscaling endpoint")

@@ -51,12 +51,15 @@ def _make_apply_fn(model, variables, model_name: str, scale: int,
         from ml_super_resolution_tpu.kernels.apply import pallas_apply_fn
 
         return pallas_apply_fn(model_name, variables, scale)
+    # Folded routes honour the model's compute dtype (a bf16-rebuilt model —
+    # serve --bf16 / upscale --bf16 — folds in bf16: the 152 MP/s config).
+    dtype = getattr(model, "dtype", jnp.float32)
     if model_name == "edsr" and _env_on("SR_FOLDED_TAIL"):
         from ml_super_resolution_tpu.kernels.apply import edsr_folded_forward
 
         return lambda inp: edsr_folded_forward(
             variables["params"], inp, scale,
-            res_scale=float(getattr(model, "res_scale", 1.0)))
+            res_scale=float(getattr(model, "res_scale", 1.0)), dtype=dtype)
     if model_name in ("srresnet", "srgan") and _env_on("SR_FOLDED_TAIL"):
         # Default srresnet/srgan inference is the folded-tail recast
         # (kernels/apply.py): exact weight rearrangement, identical
@@ -68,7 +71,8 @@ def _make_apply_fn(model, variables, model_name: str, scale: int,
         )
 
         return lambda inp: srresnet_folded_forward(
-            variables["params"], variables.get("batch_stats", {}), inp, scale)
+            variables["params"], variables.get("batch_stats", {}), inp, scale,
+            dtype=dtype)
     return lambda inp: model.apply(variables, inp, train=False)
 
 

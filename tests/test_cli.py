@@ -189,3 +189,28 @@ def test_model_arg_overrides_parse_and_build():
                                 overrides={"num_blocks": 32, "features": 256,
                                            "res_scale": 0.1}))
     assert m.num_blocks == 32 and m.features == 256 and m.res_scale == 0.1
+
+
+def test_cli_upscale_bf16(tmp_path, capsys):
+    """--bf16 inference trunk: runs and matches f32 geometry."""
+    from ml_super_resolution_tpu.cli import main
+
+    wd = tmp_path / "run"
+    rc = main([
+        "train", "--model", "espcn", "--scale", "2",
+        "--workdir", str(wd), "--steps", "2", "--batch-size", "4",
+        "--eval-every", "2", "--ckpt-every", "2",
+    ])
+    assert rc == 0
+    import numpy as np
+    from PIL import Image
+
+    src = tmp_path / "in.png"
+    Image.fromarray(
+        (np.random.default_rng(0).random((20, 24, 3)) * 255).astype("uint8")
+    ).save(src)
+    dst = tmp_path / "out.png"
+    rc = main(["upscale", "--workdir", str(wd), "--input", str(src),
+               "--output", str(dst), "--bf16"])
+    assert rc == 0
+    assert np.asarray(Image.open(dst)).shape == (40, 48, 3)
