@@ -47,10 +47,13 @@ def _make_apply_fn(model, variables, model_name: str, scale: int,
             fused_weights = extract_espcn_weights(variables["params"])
             return lambda inp: espcn_fused_forward(fused_weights, inp, scale)
         # K1/K2-routed forwards (vdsr, srresnet, srgan) — kernels are
-        # shape-generic, so they also run per-shard under tiling.
+        # shape-generic, so they also run per-shard under tiling.  Models
+        # with no fused path (srcnn, edsr) return None -> flax fallback.
         from ml_super_resolution_tpu.kernels.apply import pallas_apply_fn
 
-        return pallas_apply_fn(model_name, variables, scale)
+        fn = pallas_apply_fn(model_name, variables, scale)
+        if fn is not None:
+            return fn
     # Folded routes honour the model's compute dtype (a bf16-rebuilt model —
     # serve --bf16 / upscale --bf16 — folds in bf16: the 152 MP/s config).
     dtype = getattr(model, "dtype", jnp.float32)

@@ -173,3 +173,19 @@ def test_edsr_folded_tail_matches_flax(scale, res_scale):
     out = np.asarray(edsr_folded_forward(v["params"], x, scale,
                                          res_scale=res_scale))
     np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_upscale_frames_pallas_flag_models_without_fused_path():
+    """--pallas with a model that has no fused kernel (srcnn) must fall back
+    to the flax forward, not crash (regression: the routing refactor once
+    returned None as the apply_fn)."""
+    from ml_super_resolution_tpu.infer import upscale_frames
+
+    m, v, _ = _init("srcnn", 2, 1)
+    frames = (np.random.default_rng(6).random((1, 14, 18, 3)) * 255).astype(
+        np.uint8
+    )
+    a = np.asarray(upscale_frames(m, v, jnp.asarray(frames), "srcnn", 2,
+                                  use_pallas=True))
+    b = np.asarray(upscale_frames(m, v, jnp.asarray(frames), "srcnn", 2))
+    np.testing.assert_array_equal(a, b)
