@@ -298,8 +298,11 @@ def cmd_eval(args) -> int:
         else [cfg.model.scale]
     )
     result = {"step": step, "n_images": len(imgs)}
+    if getattr(args, "ensemble", False):
+        result["ensemble"] = True
     for s in scales:
-        out = trainer.evaluate(state, imgs, scale=s)
+        out = trainer.evaluate(state, imgs, scale=s,
+                               ensemble=getattr(args, "ensemble", False))
         if len(scales) == 1:
             result.update(out)
         else:
@@ -356,11 +359,12 @@ def cmd_upscale(args) -> int:
                 sr = np.asarray(upscale_frames(
                     model, variables, jnp.asarray(np.stack(chunk)),
                     cfg.model.name, cfg.model.scale, mesh=mesh,
-                    use_pallas=args.pallas,
+                    use_pallas=args.pallas, ensemble=args.ensemble,
                 ))
             else:  # mixed sizes: per frame
                 sr = [upscale_image(model, variables, f,
-                                    cfg.model.name, cfg.model.scale, mesh=mesh)
+                                    cfg.model.name, cfg.model.scale, mesh=mesh,
+                                    ensemble=args.ensemble)
                       for f in chunk]
             for j, img in enumerate(sr):
                 Image.fromarray(np.asarray(img)).save(out_path / names[i + j])
@@ -371,7 +375,8 @@ def cmd_upscale(args) -> int:
 
     img = np.asarray(Image.open(in_path).convert("RGB"))
     sr = upscale_image(
-        model, variables, img, cfg.model.name, cfg.model.scale, mesh=mesh
+        model, variables, img, cfg.model.name, cfg.model.scale, mesh=mesh,
+        ensemble=args.ensemble,
     )
     Image.fromarray(sr).save(out_path)
     print(json.dumps({
@@ -423,7 +428,8 @@ def _upscale_y4m(args, model, variables, cfg, mesh, in_path, out_path,
                 if y_only:
                     sr_y = np.asarray(upscale_luma_frames(
                         model, variables, ys, name, scale, mesh=mesh,
-                        use_pallas=args.pallas))[..., 0]
+                        use_pallas=args.pallas,
+                        ensemble=args.ensemble))[..., 0]
                     if mono:
                         cbcr_sr = [(None, None)] * len(batch)
                     else:
@@ -450,7 +456,8 @@ def _upscale_y4m(args, model, variables, cfg, mesh, in_path, out_path,
                             jnp.concatenate([y, cbcr_full], axis=-1)))
                     sr_rgb = upscale_frames(
                         model, variables, jnp.asarray(rgb), name,
-                        scale, mesh=mesh, use_pallas=args.pallas)
+                        scale, mesh=mesh, use_pallas=args.pallas,
+                        ensemble=args.ensemble)
                     out_ycc = to_u8(rgb_to_ycbcr(
                         sr_rgb.astype(jnp.float32) / 255.0))
                     sr_y = out_ycc[..., 0]
@@ -583,6 +590,9 @@ def main(argv=None) -> int:
     p_eval.add_argument("--best", action="store_true",
                         help="load the best-eval-PSNR checkpoint, not latest")
     p_eval.add_argument("--data", default="", help="benchmark dir (Set5 layout)")
+    p_eval.add_argument("--ensemble", action="store_true",
+                        help="D4 geometric self-ensemble (EDSR+): mean of the "
+                             "8 dihedral predictions, 8x inference cost")
     p_eval.add_argument("--scales", default="",
                         help="comma list, e.g. 2,3,4 (multi-scale models)")
     p_eval.set_defaults(fn=cmd_eval)
@@ -597,6 +607,8 @@ def main(argv=None) -> int:
                            "or RxC grid (e.g. --tiles 4 or --tiles 2x4)")
     p_up.add_argument("--batch", type=int, default=8,
                       help="frames per device batch for directory input")
+    p_up.add_argument("--ensemble", action="store_true",
+                      help="D4 geometric self-ensemble (EDSR+), 8x cost")
     p_up.add_argument("--pallas", action="store_true",
                       help="fused Pallas inference kernel (ESPCN)")
     p_up.add_argument("--bf16", action="store_true",

@@ -18,7 +18,36 @@ from ml_super_resolution_tpu.ops.color import rgb_to_ycbcr, ycbcr_to_rgb
 from ml_super_resolution_tpu.ops.resize import imresize
 from ml_super_resolution_tpu.parallel.tiling import tiled_apply, tiled_apply_2d
 
-__all__ = ["upscale_frames", "upscale_image", "upscale_luma_frames"]
+__all__ = ["d4_ensemble", "upscale_frames", "upscale_image", "upscale_luma_frames"]
+
+
+def d4_ensemble(apply_fn):
+    """Geometric self-ensemble (EDSR+, arXiv:1707.02921 §5): average the
+    network output over the 8 dihedral transforms of the input (4 rotations
+    x horizontal flip), each inverse-transformed back to frame orientation.
+
+    SR nets are only approximately D4-equivariant (conv weights are not
+    symmetric), so the 8 predictions differ and their mean is a standard
+    test-time quality gain at 8x inference cost.  ``apply_fn`` must accept
+    NHWC batches of either (h, w) or (w, h) spatial shape — every route in
+    this repo (flax apply, folded tails, tiled halo-exchange) is
+    shape-generic, so the wrapper composes with all of them; under jit the
+    two orientations simply trace as two static shapes.
+    """
+
+    def fn(x):
+        acc = None
+        for flip in (False, True):
+            xf = x[:, :, ::-1] if flip else x
+            for k in range(4):
+                y = apply_fn(jnp.rot90(xf, k, axes=(1, 2)))
+                y = jnp.rot90(y, -k, axes=(1, 2))
+                if flip:
+                    y = y[:, :, ::-1]
+                acc = y if acc is None else acc + y
+        return acc / 8.0
+
+    return fn
 
 
 def _network_input(y_or_rgb: jnp.ndarray, scale: int, lr_space: bool) -> jnp.ndarray:
@@ -138,13 +167,17 @@ def upscale_frames(
     scale: int,
     mesh=None,
     use_pallas: bool = False,
+    ensemble: bool = False,
 ) -> jnp.ndarray:
     """Upscale a batch of LR RGB frames ``(N, h, w, 3)`` uint8 -> HR uint8.
 
     With ``mesh`` (containing a ``space`` axis of size > 1) the conv stack
     runs row-band-tiled with halo exchange; otherwise whole-frame.
     ``use_pallas`` routes ESPCN through the fully-fused VMEM-resident kernel
-    (kernels/espcn_fused.py); numerically identical, opt-in.
+    (kernels/espcn_fused.py); numerically identical, opt-in.  ``ensemble``
+    averages the 8 dihedral self-ensemble predictions (EDSR+): the ensemble
+    wraps the *whole* forward (including tiling), so tiled output stays
+    bitwise-identical to whole-frame output per transform.
     """
     spec = MODEL_SPECS[model_name]
     y_only = spec["y_only"]
@@ -167,7 +200,8 @@ def upscale_frames(
 
     apply_fn = _make_apply_fn(model, variables, model_name, scale, use_pallas,
                               tiled)
-    sr = _apply_net(apply_fn, net_in, mesh, halo, scale if lr_space else 1)
+    net_fn = lambda z: _apply_net(apply_fn, z, mesh, halo, scale if lr_space else 1)
+    sr = (d4_ensemble(net_fn) if ensemble else net_fn)(net_in)
 
     if y_only:
         out = ycbcr_to_rgb(jnp.concatenate([sr, chroma], axis=-1))
@@ -184,6 +218,7 @@ def upscale_luma_frames(
     scale: int,
     mesh=None,
     use_pallas: bool = False,
+    ensemble: bool = False,
 ) -> jnp.ndarray:
     """Upscale a batch of raw luma planes ``(N, h, w, 1)`` uint8 -> HR uint8.
 
@@ -204,16 +239,19 @@ def upscale_luma_frames(
         luma_u8.astype(jnp.float32) / 255.0, scale, spec["lr_space"])
     apply_fn = _make_apply_fn(model, variables, model_name, scale, use_pallas,
                               tiled)
-    sr = _apply_net(apply_fn, net_in, mesh, spec["rf_radius"](scale),
-                    scale if spec["lr_space"] else 1)
+    net_fn = lambda z: _apply_net(apply_fn, z, mesh, spec["rf_radius"](scale),
+                                  scale if spec["lr_space"] else 1)
+    sr = (d4_ensemble(net_fn) if ensemble else net_fn)(net_in)
     return jnp.round(jnp.clip(sr, 0.0, 1.0) * 255.0).astype(jnp.uint8)
 
 
 def upscale_image(
-    model, variables, image_u8: np.ndarray, model_name: str, scale: int, mesh=None
+    model, variables, image_u8: np.ndarray, model_name: str, scale: int,
+    mesh=None, ensemble: bool = False,
 ) -> np.ndarray:
     """Single HWC uint8 image convenience wrapper."""
     out = upscale_frames(
-        model, variables, jnp.asarray(image_u8)[None], model_name, scale, mesh
+        model, variables, jnp.asarray(image_u8)[None], model_name, scale, mesh,
+        ensemble=ensemble,
     )
     return np.asarray(out[0])

@@ -164,6 +164,7 @@ class Trainer:
             out_shardings=(self.replicated, self.replicated),
         )
         self._eval_apply = jax.jit(self._eval_forward)
+        self._eval_apply_ens = None  # built lazily on first ensemble eval
 
     # ------------------------------------------------------------- state --
     def init_state(self, seed: int = 0) -> TrainState:
@@ -327,23 +328,41 @@ class Trainer:
             variables["batch_stats"] = batch_stats
         return self.model.apply(variables, lr_img[None], train=False)[0]
 
+    def _eval_forward_ens(self, params, batch_stats, lr_img):
+        """D4 self-ensemble eval forward (EDSR+): mean of the 8 dihedral
+        predictions, all traced inside one jit (two static orientations)."""
+        from ml_super_resolution_tpu.infer import d4_ensemble
+
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+
+        def ap(batch):
+            return self.model.apply(variables, batch, train=False)
+
+        return d4_ensemble(ap)(lr_img[None])[0]
+
     def eval_params(self, state: TrainState):
         return state.ema_params if state.ema_params is not None else state.params
 
     def evaluate(
-        self, state: TrainState, images: Sequence[np.ndarray], scale: int | None = None
+        self, state: TrainState, images: Sequence[np.ndarray],
+        scale: int | None = None, ensemble: bool = False,
     ) -> dict[str, float]:
         """Protocol eval: Y-channel PSNR/SSIM with ``scale``-px shave."""
         c = self.cfg
         scale = scale or c.model.scale
         y_only = c.model.channels == 1
         params = self.eval_params(state)
+        if ensemble and self._eval_apply_ens is None:
+            self._eval_apply_ens = jax.jit(self._eval_forward_ens)
+        fwd = self._eval_apply_ens if ensemble else self._eval_apply
         psnrs, ssims = [], []
         for img in images:
             lr_img, hr_img = eval_pair(
                 jnp.asarray(img), scale, y_only=y_only, lr_space=self.spec["lr_space"]
             )
-            sr = self._eval_apply(params, state.batch_stats, lr_img)
+            sr = fwd(params, state.batch_stats, lr_img)
             sr = jnp.clip(sr, 0.0, 1.0)
             if not y_only:  # score on luma (SISR protocol)
                 sr, hr_img = rgb_to_y(sr), rgb_to_y(hr_img)
