@@ -654,6 +654,8 @@ def main(argv=None) -> int:
     p_par.add_argument("--workdirs", default="",
                        help="comma list of trained run dirs to score")
     p_par.add_argument("--sets", default="", help="subset, e.g. Set5,Set14")
+    p_par.add_argument("--ensemble", action="store_true",
+                       help="D4 self-ensemble rows (EDSR+ protocol)")
     p_par.add_argument("--best", action="store_true",
                        help="use each run's best-PSNR checkpoint")
     p_par.add_argument("--out", default="", help="also write markdown here")

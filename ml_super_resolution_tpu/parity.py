@@ -100,6 +100,7 @@ def run_parity(
     workdirs: Sequence[str] = (),
     best: bool = False,
     sets: Sequence[str] = (),
+    ensemble: bool = False,
 ) -> dict:
     """Evaluate bicubic + every run dir on every benchmark set found.
 
@@ -136,8 +137,11 @@ def run_parity(
             entry["bicubic"][f"x{s}"] = r
         for wd, trainer, state, step, cfg, scales in runs:
             rd: dict = {"model": cfg.model.name, "step": step}
+            if ensemble:
+                rd["ensemble"] = True
             for s in scales:
-                r = trainer.evaluate(state, images, scale=s)
+                r = trainer.evaluate(state, images, scale=s,
+                                     ensemble=ensemble)
                 paper = PAPER_PSNR.get((cfg.model.name, set_name, s))
                 if paper is not None:
                     r["paper"] = paper
@@ -189,6 +193,7 @@ def main_parity(args) -> int:
         [w for w in args.workdirs.split(",") if w],
         best=args.best,
         sets=[s for s in args.sets.split(",") if s],
+        ensemble=getattr(args, "ensemble", False),
     )
     md = render_markdown(report)
     if args.out:

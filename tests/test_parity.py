@@ -72,3 +72,9 @@ def test_parity_cli_with_run(tmp_path, capsys):
     assert "espcn" in md
     # markdown renderer is pure
     assert render_markdown(report) in md + "\n"
+    # D4 self-ensemble rows (EDSR+ protocol) through the same runbook
+    rep_ens = run_parity(tmp_path / "bench", [str(wd)], ensemble=True)
+    row_ens = rep_ens["set5"][str(wd)]
+    assert row_ens["ensemble"] is True
+    assert np.isfinite(row_ens["x4"]["psnr"])
+    assert row_ens["x4"]["psnr"] != run_row["x4"]["psnr"]
