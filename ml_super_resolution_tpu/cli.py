@@ -87,6 +87,9 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
                    help="total processes in the multi-host job (0 = infer)")
     p.add_argument("--process-id", type=int, default=-1,
                    help="this process's id (-1 = infer)")
+    p.add_argument("--previews", action="store_true",
+                   help="save bicubic/SR/HR PNG triplets at each eval "
+                        "(+TB image summaries when TB is on)")
     p.add_argument("--eval-every", type=int, default=2000)
     p.add_argument("--ckpt-every", type=int, default=2000)
     p.add_argument("--log-every", type=int, default=100)
@@ -171,6 +174,7 @@ def _config_from_args(args) -> "ExperimentConfig":
             d_lr_scale=getattr(args, "d_lr_scale", 1.0),
             label_smooth=getattr(args, "label_smooth", 0.0),
             r1_gamma=getattr(args, "r1_gamma", 0.0),
+            previews=getattr(args, "previews", False),
             eval_every=args.eval_every,
             ckpt_every=args.ckpt_every,
             log_every=args.log_every,

@@ -345,6 +345,29 @@ class Trainer:
     def eval_params(self, state: TrainState):
         return state.ema_params if state.ema_params is not None else state.params
 
+    def eval_previews(
+        self, state: TrainState, image: np.ndarray, scale: int | None = None
+    ) -> dict[str, np.ndarray]:
+        """(bicubic, sr, hr) uint8 triplet for one eval image — the image
+        summaries of SURVEY §5.5 (grayscale for Y-channel models)."""
+        from ml_super_resolution_tpu.ops.resize import imresize
+
+        c = self.cfg
+        scale = scale or c.model.scale
+        lr_img, hr_img = eval_pair(
+            jnp.asarray(image), scale, y_only=c.model.channels == 1,
+            lr_space=self.spec["lr_space"],
+        )
+        sr = self._eval_apply(self.eval_params(state), state.batch_stats, lr_img)
+        bic = (imresize(lr_img, scale=float(scale))
+               if self.spec["lr_space"] else lr_img)  # HR-space input IS bicubic
+
+        def to_u8(a):
+            return np.asarray(
+                jnp.round(jnp.clip(a, 0.0, 1.0) * 255.0).astype(jnp.uint8))
+
+        return {"bicubic": to_u8(bic), "sr": to_u8(sr), "hr": to_u8(hr_img)}
+
     def evaluate(
         self, state: TrainState, images: Sequence[np.ndarray],
         scale: int | None = None, ensemble: bool = False,
@@ -467,6 +490,10 @@ class Trainer:
                         ev[f"psnr_x{s_}"] = es["psnr"]
                         ev[f"ssim_x{s_}"] = es["ssim"]
                 self.logger.log("eval", step, **ev)
+                if c.train.previews:
+                    self.logger.log_images(
+                        "eval", step, **self.eval_previews(state, eval_images[0])
+                    )
                 best_psnr = self._maybe_save_best(step, state, ev, best_psnr)
             if self.ckpt and crossed(step, prev, c.train.ckpt_every):
                 self.ckpt.save(step, jax.device_get(state))

@@ -109,6 +109,11 @@ class TrainConfig:
     d_lr_scale: float = 1.0
     label_smooth: float = 0.0
     r1_gamma: float = 0.0
+    # Image summaries at each eval (the reference's tf.summary image leg,
+    # SURVEY §5.5): bicubic/SR/HR PNG triplet of the first eval image under
+    # <workdir>/previews (+ TB mirror when enabled).  Off by default: each
+    # preview is a full-image readback, which is costly on attach relays.
+    previews: bool = False
     debug_nans: bool = False
 
 

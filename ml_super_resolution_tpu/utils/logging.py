@@ -19,8 +19,10 @@ class MetricsLogger:
         self.echo = echo
         self._fh: IO[str] | None = None
         self._tb = None
+        self._dir: Path | None = None
         if out_dir is not None:
             p = Path(out_dir)
+            self._dir = p
             p.mkdir(parents=True, exist_ok=True)
             self._fh = (p / "metrics.jsonl").open("a")
             if tensorboard:
@@ -49,6 +51,33 @@ class MetricsLogger:
                 for k, v in values.items()
             )
             print(f"[{kind} {step}] {vals}", file=sys.stderr)
+
+    def log_images(self, kind: str, step: int, **images: Any) -> None:
+        """Image summaries (the reference's ``tf.summary`` image leg,
+        SURVEY §5.5): each HWC uint8 array lands as a PNG under
+        ``<dir>/previews/`` and, when the TB mirror is on, as a
+        ``tf.summary.image``."""
+        if self._dir is None:
+            return
+        import numpy as np
+        from PIL import Image
+
+        pdir = self._dir / "previews"
+        pdir.mkdir(exist_ok=True)
+        for name, arr in images.items():
+            a = np.asarray(arr)
+            if a.ndim == 3 and a.shape[-1] == 1:
+                a = a[..., 0]  # PIL grayscale
+            Image.fromarray(a).save(pdir / f"{step:08d}_{kind}_{name}.png")
+        if self._tb is not None:
+            import tensorflow as tf
+
+            with self._tb.as_default():
+                for name, arr in images.items():
+                    a = np.asarray(arr)
+                    if a.ndim == 3:
+                        a = a[None]
+                    tf.summary.image(f"{kind}/{name}", a, step=step)
 
     def close(self) -> None:
         if self._fh:
