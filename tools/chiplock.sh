@@ -26,3 +26,56 @@ with_chip() {
     exit $rc
   ) 9>"$SR_CHIP_LOCK"
 }
+
+# with_chip + silence watchdog.  Measured 2026-08-17 19:48: a training chunk
+# can futex-wedge MID-RUN at an eval/readback boundary (not only at claim
+# time), and a wedged holder then blocks the lock queue until its outer
+# timeout.  The watchdog SIGTERMs the command (by PID, never by pattern)
+# once its log file goes silent.
+#   with_chip_wd <max_silence_s> <watch_file> <cmd...>
+with_chip_wd() {
+  local gap=$1 wf=$2
+  shift 2
+  (
+    flock -w 10800 9 || { echo "with_chip_wd: lock timeout" >&2; exit 97; }
+    "$@" &
+    pid=$!
+    (
+      exec 9>&-  # don't let the watchdog (or its sleeps) hold the lock
+      while kill -0 "$pid" 2>/dev/null; do
+        sleep 20
+        if [ -e "$wf" ]; then
+          age=$(( $(date +%s) - $(stat -c %Y "$wf") ))
+          if [ "$age" -gt "$gap" ]; then
+            echo "with_chip_wd: $wf silent ${age}s > ${gap}s; SIGTERM $pid" >&2
+            kill -TERM "$pid" 2>/dev/null
+            sleep 60
+            kill -KILL "$pid" 2>/dev/null
+            break
+          fi
+        fi
+      done
+    ) &
+    wd=$!
+    wait "$pid"
+    rc=$?
+    kill "$wd" 2>/dev/null
+    sleep "$SR_CHIP_GAP"
+    exit $rc
+  ) 9>"$SR_CHIP_LOCK"
+}
+
+# Poll until a tiny on-chip op answers (post-wedge recovery gate).
+#   chip_health [attempts]   # ~2.5 min per attempt incl. teardown gap
+chip_health() {
+  local tries=${1:-20} i
+  for i in $(seq 1 "$tries"); do
+    if with_chip timeout 60 python -c \
+      "import jax, jax.numpy as jnp; print('chip ok', float(jnp.sum(jnp.ones((8,128)))))"; then
+      return 0
+    fi
+    echo "chip_health: attempt $i not ready ($(date -u +%H:%M))" >&2
+    sleep 90
+  done
+  return 1
+}
