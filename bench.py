@@ -182,6 +182,8 @@ def main():
         bench_edsr_folded()
     with _bounded(300, "serve-load"):
         bench_serve_load()
+    with _bounded(420, "int8 rows"):
+        bench_int8()
     bench_host_ingest()
     bench_virtual_mesh_scaling()
     # Final stdout line = the headline JSON (the driver parses the tail).
@@ -452,6 +454,54 @@ def bench_serve_load(clients: int = 4, per_client: int = 25):
         raise
     except Exception as e:
         print(f"# serve-load bench failed: {e}", file=sys.stderr)
+
+
+def bench_int8():
+    """PTQ int8 inference rows (quant.py): int8 x int8 -> int32 on the MXU
+    runs at 2x the bf16 MAC rate on v5e, so these rows chase the bf16
+    configs (espcn-bf16-b32 headline, edsr-bf16-b4).  Both executors are
+    measured — "conv" (integer conv_general_dilated) and "dot" (im2col +
+    int8 dot_general) — because which one the remote compiler lowers onto
+    the int8 systolic path is a compiler property, not ours."""
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        from ml_super_resolution_tpu.models import build_model
+        from ml_super_resolution_tpu.quant import int8_apply_fn
+        from ml_super_resolution_tpu.utils.config import ModelConfig
+
+        rows = [
+            ("espcn-int8-b32", "espcn", 4, 1, 32, "conv", {}),
+            ("espcn-int8dot-b32", "espcn", 4, 1, 32, "dot", {}),
+            ("edsr-int8-b4", "edsr", 4, 3, 4, "conv", {}),
+            ("edsr-int8dot-b4", "edsr", 4, 3, 4, "dot", {}),
+        ]
+        for label, name, scale, ch, batch, impl, ov in rows:
+            try:
+                m = build_model(
+                    ModelConfig(name=name, scale=scale, channels=ch,
+                                overrides=ov))
+                x = jnp.asarray(np.random.default_rng(0).random(
+                    (batch, 1080 // scale, 1920 // scale, ch)), jnp.float32)
+                v = m.init(jax.random.key(0), x[:1], train=False)
+                qfn = int8_apply_fn(m, v, name, scale, x[:1], impl=impl,
+                                    dtype=jnp.bfloat16)
+                # unwrap the partial so the quantized tree rides as a jit
+                # argument through _iter_time, not a baked constant
+                raw, qtree = qfn.func, qfn.args[0]
+                dtf = _iter_time(lambda q, inp: raw(q, inp), qtree, x, iters=8)
+                print(f"# {label} x{scale} -> 1080p: "
+                      f"{batch*1080*1920/1e6/dtf:.1f} MP/s "
+                      f"({dtf*1e3:.2f} ms/batch)", file=sys.stderr)
+            except TimeoutError:
+                raise
+            except Exception as e:
+                print(f"# {label} bench failed: {e}", file=sys.stderr)
+    except TimeoutError:
+        raise
+    except Exception as e:
+        print(f"# int8 bench failed: {e}", file=sys.stderr)
 
 
 def bench_host_ingest():

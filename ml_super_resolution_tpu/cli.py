@@ -304,9 +304,12 @@ def cmd_eval(args) -> int:
     result = {"step": step, "n_images": len(imgs)}
     if getattr(args, "ensemble", False):
         result["ensemble"] = True
+    if getattr(args, "int8", False):
+        result["int8"] = True
     for s in scales:
         out = trainer.evaluate(state, imgs, scale=s,
-                               ensemble=getattr(args, "ensemble", False))
+                               ensemble=getattr(args, "ensemble", False),
+                               int8=getattr(args, "int8", False))
         if len(scales) == 1:
             result.update(out)
         else:
@@ -364,11 +367,12 @@ def cmd_upscale(args) -> int:
                     model, variables, jnp.asarray(np.stack(chunk)),
                     cfg.model.name, cfg.model.scale, mesh=mesh,
                     use_pallas=args.pallas, ensemble=args.ensemble,
+                    int8=args.int8,
                 ))
             else:  # mixed sizes: per frame
                 sr = [upscale_image(model, variables, f,
                                     cfg.model.name, cfg.model.scale, mesh=mesh,
-                                    ensemble=args.ensemble)
+                                    ensemble=args.ensemble, int8=args.int8)
                       for f in chunk]
             for j, img in enumerate(sr):
                 Image.fromarray(np.asarray(img)).save(out_path / names[i + j])
@@ -380,7 +384,7 @@ def cmd_upscale(args) -> int:
     img = np.asarray(Image.open(in_path).convert("RGB"))
     sr = upscale_image(
         model, variables, img, cfg.model.name, cfg.model.scale, mesh=mesh,
-        ensemble=args.ensemble,
+        ensemble=args.ensemble, int8=args.int8,
     )
     Image.fromarray(sr).save(out_path)
     print(json.dumps({
@@ -433,7 +437,7 @@ def _upscale_y4m(args, model, variables, cfg, mesh, in_path, out_path,
                     sr_y = np.asarray(upscale_luma_frames(
                         model, variables, ys, name, scale, mesh=mesh,
                         use_pallas=args.pallas,
-                        ensemble=args.ensemble))[..., 0]
+                        ensemble=args.ensemble, int8=args.int8))[..., 0]
                     if mono:
                         cbcr_sr = [(None, None)] * len(batch)
                     else:
@@ -461,7 +465,7 @@ def _upscale_y4m(args, model, variables, cfg, mesh, in_path, out_path,
                     sr_rgb = upscale_frames(
                         model, variables, jnp.asarray(rgb), name,
                         scale, mesh=mesh, use_pallas=args.pallas,
-                        ensemble=args.ensemble)
+                        ensemble=args.ensemble, int8=args.int8)
                     out_ycc = to_u8(rgb_to_ycbcr(
                         sr_rgb.astype(jnp.float32) / 255.0))
                     sr_y = out_ycc[..., 0]
@@ -599,6 +603,9 @@ def main(argv=None) -> int:
                              "8 dihedral predictions, 8x inference cost")
     p_eval.add_argument("--scales", default="",
                         help="comma list, e.g. 2,3,4 (multi-scale models)")
+    p_eval.add_argument("--int8", action="store_true",
+                        help="PTQ int8 forward (quant.py): reports the "
+                             "quantized PSNR/SSIM for this checkpoint")
     p_eval.set_defaults(fn=cmd_eval)
 
     p_up = sub.add_parser("upscale", help="upscale an image with a trained run")
@@ -618,6 +625,9 @@ def main(argv=None) -> int:
     p_up.add_argument("--bf16", action="store_true",
                       help="bfloat16 compute trunk (params stay f32) — "
                            "fastest measured config at quality parity")
+    p_up.add_argument("--int8", action="store_true",
+                      help="PTQ int8 conv stack (quant.py), self-calibrated "
+                           "on the first frame — the int8-MXU serving path")
     p_up.set_defaults(fn=cmd_upscale)
 
     p_serve = sub.add_parser("serve", help="HTTP upscaling endpoint")

@@ -76,8 +76,14 @@ def _replicate_over_mesh(variables, mesh):
 
 
 def _make_apply_fn(model, variables, model_name: str, scale: int,
-                   use_pallas: bool, tiled: bool):
-    """Forward closure: XLA by default; Pallas-routed when requested."""
+                   use_pallas: bool, tiled: bool, int8_calib=None):
+    """Forward closure: XLA by default; Pallas-routed when requested;
+    int8-quantized (quant.py) when ``int8_calib`` (an NHWC f32 calibration
+    batch in network-input space) is given — int8 wins over --pallas."""
+    if int8_calib is not None:
+        from ml_super_resolution_tpu.quant import int8_apply_fn
+
+        return int8_apply_fn(model, variables, model_name, scale, int8_calib)
     if use_pallas:
         spec = MODEL_SPECS[model_name]
         if model_name == "espcn" and spec["y_only"] and not tiled:
@@ -181,6 +187,7 @@ def upscale_frames(
     mesh=None,
     use_pallas: bool = False,
     ensemble: bool = False,
+    int8: bool = False,
 ) -> jnp.ndarray:
     """Upscale a batch of LR RGB frames ``(N, h, w, 3)`` uint8 -> HR uint8.
 
@@ -190,7 +197,9 @@ def upscale_frames(
     (kernels/espcn_fused.py); numerically identical, opt-in.  ``ensemble``
     averages the 8 dihedral self-ensemble predictions (EDSR+): the ensemble
     wraps the *whole* forward (including tiling), so tiled output stays
-    bitwise-identical to whole-frame output per transform.
+    bitwise-identical to whole-frame output per transform.  ``int8`` runs
+    the PTQ-quantized conv stack (quant.py), self-calibrated on the first
+    frame — the int8-MXU serving path.
     """
     spec = MODEL_SPECS[model_name]
     y_only = spec["y_only"]
@@ -212,7 +221,8 @@ def upscale_frames(
         chroma = None
 
     apply_fn = _make_apply_fn(model, variables, model_name, scale, use_pallas,
-                              tiled)
+                              tiled,
+                              int8_calib=net_in[:1] if int8 else None)
     net_fn = lambda z: _apply_net(apply_fn, z, mesh, halo, scale if lr_space else 1)
     sr = (d4_ensemble(net_fn) if ensemble else net_fn)(net_in)
 
@@ -232,6 +242,7 @@ def upscale_luma_frames(
     mesh=None,
     use_pallas: bool = False,
     ensemble: bool = False,
+    int8: bool = False,
 ) -> jnp.ndarray:
     """Upscale a batch of raw luma planes ``(N, h, w, 1)`` uint8 -> HR uint8.
 
@@ -251,7 +262,8 @@ def upscale_luma_frames(
     net_in = _network_input(
         luma_u8.astype(jnp.float32) / 255.0, scale, spec["lr_space"])
     apply_fn = _make_apply_fn(model, variables, model_name, scale, use_pallas,
-                              tiled)
+                              tiled,
+                              int8_calib=net_in[:1] if int8 else None)
     net_fn = lambda z: _apply_net(apply_fn, z, mesh, spec["rf_radius"](scale),
                                   scale if spec["lr_space"] else 1)
     sr = (d4_ensemble(net_fn) if ensemble else net_fn)(net_in)
@@ -260,11 +272,11 @@ def upscale_luma_frames(
 
 def upscale_image(
     model, variables, image_u8: np.ndarray, model_name: str, scale: int,
-    mesh=None, ensemble: bool = False,
+    mesh=None, ensemble: bool = False, int8: bool = False,
 ) -> np.ndarray:
     """Single HWC uint8 image convenience wrapper."""
     out = upscale_frames(
         model, variables, jnp.asarray(image_u8)[None], model_name, scale, mesh,
-        ensemble=ensemble,
+        ensemble=ensemble, int8=int8,
     )
     return np.asarray(out[0])

@@ -371,8 +371,13 @@ class Trainer:
     def evaluate(
         self, state: TrainState, images: Sequence[np.ndarray],
         scale: int | None = None, ensemble: bool = False,
+        int8: bool = False,
     ) -> dict[str, float]:
-        """Protocol eval: Y-channel PSNR/SSIM with ``scale``-px shave."""
+        """Protocol eval: Y-channel PSNR/SSIM with ``scale``-px shave.
+
+        ``int8`` scores the PTQ-quantized forward (quant.py), calibrated on
+        the first eval image — the honest way to report the int8 PSNR delta
+        against this same method's float numbers."""
         c = self.cfg
         scale = scale or c.model.scale
         y_only = c.model.channels == 1
@@ -380,6 +385,20 @@ class Trainer:
         if ensemble and self._eval_apply_ens is None:
             self._eval_apply_ens = jax.jit(self._eval_forward_ens)
         fwd = self._eval_apply_ens if ensemble else self._eval_apply
+        if int8:
+            from ml_super_resolution_tpu.infer import d4_ensemble
+            from ml_super_resolution_tpu.quant import int8_apply_fn
+
+            lr0, _ = eval_pair(
+                jnp.asarray(images[0]), scale, y_only=y_only,
+                lr_space=self.spec["lr_space"])
+            variables = {"params": params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            qfn = int8_apply_fn(self.model, variables, c.model.name, scale,
+                                lr0[None])
+            net = d4_ensemble(qfn) if ensemble else qfn
+            fwd = lambda p, bs, lr: net(lr[None])[0]
         psnrs, ssims = [], []
         for img in images:
             lr_img, hr_img = eval_pair(

@@ -214,3 +214,34 @@ def test_cli_upscale_bf16(tmp_path, capsys):
                "--output", str(dst), "--bf16"])
     assert rc == 0
     assert np.asarray(Image.open(dst)).shape == (40, 48, 3)
+
+
+def test_cli_int8_eval_and_upscale(tmp_path, capsys):
+    """--int8 PTQ path: eval reports a sane quantized PSNR and upscale
+    produces correct geometry (quant.py end-to-end through the CLI)."""
+    from ml_super_resolution_tpu.cli import main
+
+    wd = tmp_path / "run"
+    rc = main([
+        "train", "--model", "espcn", "--scale", "2",
+        "--workdir", str(wd), "--steps", "2", "--batch-size", "4",
+        "--eval-every", "2", "--ckpt-every", "2",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+
+    rc = main(["eval", "--workdir", str(wd), "--int8"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["int8"] is True
+    assert 3 < out["psnr"] < 60
+
+    src = tmp_path / "in.png"
+    Image.fromarray(
+        (np.random.default_rng(0).random((20, 24, 3)) * 255).astype("uint8")
+    ).save(src)
+    dst = tmp_path / "out.png"
+    rc = main(["upscale", "--workdir", str(wd), "--input", str(src),
+               "--output", str(dst), "--int8"])
+    assert rc == 0
+    assert np.asarray(Image.open(dst)).shape == (40, 48, 3)

@@ -1,0 +1,102 @@
+"""Golden tests for the int8 PTQ inference path (quant.py).
+
+Three gates per model:
+1. **Structure mirror**: the calibration engine's f32 pass must equal the
+   flax ``model.apply`` (folded-tail recast for EDSR/SRResNet is exact, so
+   allclose at 1e-5) — proves the quantized path runs the same network.
+2. **Fidelity**: int8 output >= 40 dB SNR against the f32 reference.
+3. **Executor equivalence**: the "conv" and "dot" executors are exact
+   integer programs over identical quantized operands — bitwise equal.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ml_super_resolution_tpu.models import SRCNN, ESPCN, VDSR, EDSR, SRResNet
+from ml_super_resolution_tpu.quant import (
+    _CalibEngine,
+    _NETS,
+    int8_apply_fn,
+    int8_output_fidelity_db,
+    quantize_weight,
+)
+
+CASES = [
+    ("srcnn", SRCNN(channels=1), (1, 16, 16, 1), 1),
+    ("espcn", ESPCN(scale=2, channels=1), (1, 12, 12, 1), 2),
+    ("vdsr", VDSR(channels=1, depth=6, features=16), (1, 16, 16, 1), 1),
+    ("edsr", EDSR(scale=2, channels=3, features=16, num_blocks=2,
+                  res_scale=0.1), (1, 12, 12, 3), 2),
+    ("srresnet", SRResNet(scale=4, channels=3, features=16, num_blocks=2),
+     (1, 8, 8, 3), 4),
+]
+
+
+def _setup(model, shape):
+    x = jax.random.uniform(jax.random.PRNGKey(1), shape)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    return x, variables
+
+
+@pytest.mark.parametrize("name,model,shape,scale", CASES,
+                         ids=[c[0] for c in CASES])
+def test_calib_pass_matches_flax_apply(name, model, shape, scale):
+    x, variables = _setup(model, shape)
+    y_ref = model.apply(variables, x, train=False)
+    eng = _CalibEngine()
+    y_cal = _NETS[name](eng, variables["params"],
+                        variables.get("batch_stats", {}), x, scale,
+                        float(getattr(model, "res_scale", 1.0)))
+    np.testing.assert_allclose(np.asarray(y_cal), np.asarray(y_ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("name,model,shape,scale", CASES,
+                         ids=[c[0] for c in CASES])
+def test_int8_fidelity_and_executor_equivalence(name, model, shape, scale):
+    x, variables = _setup(model, shape)
+    y_ref = model.apply(variables, x, train=False)
+    y_conv = int8_apply_fn(model, variables, name, scale, x, impl="conv")(x)
+    y_dot = int8_apply_fn(model, variables, name, scale, x, impl="dot")(x)
+    fid = int8_output_fidelity_db(y_ref, y_conv)
+    assert fid >= 40.0, f"{name}: int8 fidelity {fid:.1f} dB < 40 dB"
+    # both executors compute the identical integer program -> bitwise equal
+    np.testing.assert_array_equal(np.asarray(y_conv), np.asarray(y_dot))
+
+
+def test_quantize_weight_roundtrip_bound():
+    w = jax.random.normal(jax.random.PRNGKey(2), (3, 3, 8, 16)) * jnp.arange(
+        1, 17)  # per-channel magnitudes differ by 16x
+    wq, sw = quantize_weight(w)
+    assert wq.dtype == jnp.int8 and sw.shape == (16,)
+    err = np.abs(np.asarray(wq, np.float32) * np.asarray(sw) - np.asarray(w))
+    # symmetric rounding: per-channel error <= s_w / 2
+    assert (err <= np.asarray(sw) / 2 + 1e-7).all()
+
+
+def test_zero_weight_channel_is_exact():
+    w = jnp.zeros((3, 3, 4, 4)).at[..., :2].set(
+        jax.random.normal(jax.random.PRNGKey(3), (3, 3, 4, 2)))
+    wq, sw = quantize_weight(w)
+    assert (np.asarray(wq[..., 2:]) == 0).all()
+    assert np.isfinite(np.asarray(sw)).all()
+
+
+def test_int8_unsupported_model_raises():
+    with pytest.raises(ValueError, match="no int8 path"):
+        int8_apply_fn(None, {"params": {}}, "nope", 2,
+                      jnp.zeros((1, 4, 4, 1)))
+
+
+def test_batch_generalization():
+    """Calibrate on one frame, run on a different 2-frame batch: scales are
+    static, shapes retrace, numerics stay within the fidelity gate."""
+    name, model, shape, scale = CASES[1]  # espcn
+    x, variables = _setup(model, shape)
+    fn = int8_apply_fn(model, variables, name, scale, x)
+    x2 = jax.random.uniform(jax.random.PRNGKey(7), (2,) + shape[1:])
+    y_ref = model.apply(variables, x2, train=False)
+    fid = int8_output_fidelity_db(y_ref, fn(x2))
+    assert fid >= 40.0, f"batch fidelity {fid:.1f} dB"
