@@ -492,9 +492,63 @@ def _upscale_y4m(args, model, variables, cfg, mesh, in_path, out_path,
     return 0
 
 
+def cmd_export(args) -> int:
+    """Package a run's inference pipeline as an AOT SRX1 artifact (aot.py)."""
+    import jax.numpy as jnp
+
+    from ml_super_resolution_tpu.aot import export_artifact
+    from ml_super_resolution_tpu.ops.resize import imresize
+
+    trainer, state, step, cfg = _load_run(args.workdir, best=args.best)
+    model = trainer.model
+    if args.bf16:
+        from ml_super_resolution_tpu.models import build_model
+
+        ov = dict(cfg.model.overrides)
+        ov["dtype"] = jnp.bfloat16
+        model = build_model(dataclasses.replace(cfg.model, overrides=ov))
+    variables = {"params": trainer.eval_params(state)}
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats
+    h, w = (int(v) for v in args.size.lower().split("x"))
+    calib = None
+    if args.int8:
+        if args.calib:
+            from PIL import Image
+
+            img = np.asarray(Image.open(args.calib).convert("RGB"))
+        else:  # synthetic fallback: representative enough for max-abs PTQ
+            from ml_super_resolution_tpu.data.datasets import SyntheticImages
+
+            img = SyntheticImages(n=1, size=max(h, w, 64), seed=7).decode(0)
+        x = jnp.asarray(img, jnp.float32)[None] / 255.0
+        calib = np.asarray(jnp.round(jnp.clip(
+            imresize(x, out_shape=(h, w)), 0.0, 1.0) * 255.0).astype(jnp.uint8))
+    batches = [int(b) for b in args.batches.split(",")]
+    header = export_artifact(
+        model, variables, cfg.model.name, cfg.model.scale, h, w,
+        args.output, batches=batches, int8=args.int8, calib_u8=calib,
+        step=step)
+    print(json.dumps({"artifact": args.output, **header}))
+    return 0
+
+
 def cmd_serve(args) -> int:
     from ml_super_resolution_tpu.serve import serve
 
+    if getattr(args, "from_export", ""):
+        print(json.dumps({
+            "serving": f"http://{args.host}:{args.port}",
+            "artifact": args.from_export,
+        }), flush=True)
+        serve(None, None, None, host=args.host, port=args.port,
+              max_batch=args.max_batch, window_ms=args.window_ms,
+              artifact=args.from_export)
+        return 0
+
+    if not args.workdir:
+        print("serve needs --workdir or --from-export", file=sys.stderr)
+        return 2
     trainer, state, step, cfg = _load_run(args.workdir, best=getattr(args, "best", False))
     extra = {}
     for spec in args.extra or []:
@@ -631,7 +685,11 @@ def main(argv=None) -> int:
     p_up.set_defaults(fn=cmd_upscale)
 
     p_serve = sub.add_parser("serve", help="HTTP upscaling endpoint")
-    p_serve.add_argument("--workdir", required=True)
+    p_serve.add_argument("--workdir", default="",
+                         help="run dir (omit with --from-export)")
+    p_serve.add_argument("--from-export", default="", dest="from_export",
+                         help="serve an AOT SRX1 artifact (sr export) — no "
+                              "checkpoint or model code needed")
     p_serve.add_argument("--best", action="store_true")
     p_serve.add_argument("--host", default="127.0.0.1")
     p_serve.add_argument("--port", type=int, default=8600)
@@ -646,6 +704,24 @@ def main(argv=None) -> int:
     p_serve.add_argument("--window-ms", type=float, default=4.0,
                          help="micro-batch collection window")
     p_serve.set_defaults(fn=cmd_serve)
+
+    p_exp = sub.add_parser(
+        "export", help="package a run as an AOT serving artifact (SRX1)")
+    p_exp.add_argument("--workdir", required=True)
+    p_exp.add_argument("--best", action="store_true")
+    p_exp.add_argument("--output", required=True, help="artifact file (.srx)")
+    p_exp.add_argument("--size", default="270x480",
+                       help="LR frame geometry HxW (default: 1080p at x4)")
+    p_exp.add_argument("--batches", default="1,2,4,8",
+                       help="micro-batch buckets to export programs for")
+    p_exp.add_argument("--bf16", action="store_true",
+                       help="bfloat16 compute trunk")
+    p_exp.add_argument("--int8", action="store_true",
+                       help="PTQ int8 conv stack (quant.py)")
+    p_exp.add_argument("--calib", default="",
+                       help="calibration image for --int8 (PNG/JPEG; "
+                            "synthetic fallback if omitted)")
+    p_exp.set_defaults(fn=cmd_export)
 
     p_feat = sub.add_parser(
         "featurenet", help="train the offline perceptual-loss backbone"

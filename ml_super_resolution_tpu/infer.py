@@ -188,6 +188,7 @@ def upscale_frames(
     use_pallas: bool = False,
     ensemble: bool = False,
     int8: bool = False,
+    prebuilt_apply_fn=None,
 ) -> jnp.ndarray:
     """Upscale a batch of LR RGB frames ``(N, h, w, 3)`` uint8 -> HR uint8.
 
@@ -220,9 +221,12 @@ def upscale_frames(
         net_in = _network_input(x, scale, lr_space)
         chroma = None
 
-    apply_fn = _make_apply_fn(model, variables, model_name, scale, use_pallas,
-                              tiled,
-                              int8_calib=net_in[:1] if int8 else None)
+    # prebuilt_apply_fn: callers that must stay trace-safe (aot.py exports
+    # the whole pipeline under jax.export) pass a ready-made forward — int8
+    # calibration does eager readbacks and cannot run inside a trace.
+    apply_fn = prebuilt_apply_fn if prebuilt_apply_fn is not None else \
+        _make_apply_fn(model, variables, model_name, scale, use_pallas,
+                       tiled, int8_calib=net_in[:1] if int8 else None)
     net_fn = lambda z: _apply_net(apply_fn, z, mesh, halo, scale if lr_space else 1)
     sr = (d4_ensemble(net_fn) if ensemble else net_fn)(net_in)
 

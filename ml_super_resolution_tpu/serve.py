@@ -124,7 +124,7 @@ class _Batcher:
 def serve(trainer, state, cfg, host: str = "127.0.0.1", port: int = 8600,
           use_pallas: bool = False, ready_event=None,
           max_batch: int = 8, window_ms: float = 4.0, bf16: bool = False,
-          extra_models: dict | None = None):
+          extra_models: dict | None = None, artifact: str | None = None):
     """Blocking serve loop; ``ready_event`` (threading.Event) set when bound.
 
     ``bf16`` swaps the serving trunk to bfloat16 compute (params stay f32 on
@@ -132,6 +132,11 @@ def serve(trainer, state, cfg, host: str = "127.0.0.1", port: int = 8600,
     quality parity.  ``extra_models`` maps additional endpoint names to
     ``(trainer, state, cfg)`` triples; requests pick one via
     ``POST /upscale?model=<name>`` (default: the primary model).
+
+    ``artifact`` serves an AOT-exported SRX1 file (aot.py) INSTEAD of a
+    checkpoint: ``trainer``/``state``/``cfg`` may all be None — the serving
+    host needs no model code.  Requests must match the exported LR frame
+    geometry; the micro-batcher buckets over the exported batch sizes.
     """
     from PIL import Image
 
@@ -162,12 +167,31 @@ def serve(trainer, state, cfg, host: str = "127.0.0.1", port: int = 8600,
 
         return device_fn
 
-    model_name, scale = cfg.model.name, cfg.model.scale
-    batchers = {"": _Batcher(make_device_fn(trainer, state, cfg),
-                             max_batch=max_batch, window_ms=window_ms)}
-    for name, (tr_i, st_i, cfg_i) in (extra_models or {}).items():
-        batchers[name] = _Batcher(make_device_fn(tr_i, st_i, cfg_i),
-                                  max_batch=max_batch, window_ms=window_ms)
+    if artifact:
+        from ml_super_resolution_tpu.aot import load_artifact
+
+        header, afn = load_artifact(artifact)
+        model_name, scale = header["model"], header["scale"]
+        # _bucket pads to powers of two: cap max_batch at the largest
+        # exported power-of-two prefix so every bucket has a program.
+        avail = set(header["batches"])
+        if 1 not in avail:
+            raise ValueError(f"{artifact}: batch 1 not exported "
+                             f"(batches={sorted(avail)})")
+        b = 1
+        while b * 2 in avail:
+            b *= 2
+        max_batch = b
+        batchers = {"": _Batcher(afn, max_batch=max_batch,
+                                 window_ms=window_ms)}
+    else:
+        model_name, scale = cfg.model.name, cfg.model.scale
+        batchers = {"": _Batcher(make_device_fn(trainer, state, cfg),
+                                 max_batch=max_batch, window_ms=window_ms)}
+        for name, (tr_i, st_i, cfg_i) in (extra_models or {}).items():
+            batchers[name] = _Batcher(make_device_fn(tr_i, st_i, cfg_i),
+                                      max_batch=max_batch,
+                                      window_ms=window_ms)
     batcher = batchers[""]
 
     def decode(body: bytes) -> np.ndarray:
@@ -196,7 +220,7 @@ def serve(trainer, state, cfg, host: str = "127.0.0.1", port: int = 8600,
             if self.path == "/healthz":
                 self._json(200, {
                     "status": "ok", "model": model_name, "scale": scale,
-                    "bf16": bf16,
+                    "bf16": bf16, "artifact": str(artifact or ""),
                     "models": [n for n in batchers if n] or [model_name],
                     "served": batcher.served, "batches": batcher.batches,
                     "mean_batch": round(
