@@ -396,97 +396,22 @@ def cmd_upscale(args) -> int:
 
 def _upscale_y4m(args, model, variables, cfg, mesh, in_path, out_path,
                  step) -> int:
-    """Video-container upscale: Y4M in -> Y4M out (see data/video.py).
+    """Video-container upscale: Y4M in -> Y4M out.
 
-    Y-channel models run straight on the container's luma planes (no color
-    conversion) and chroma is protocol-bicubic-upscaled at its own
-    subsampled resolution, so 4:2:0 streams stay 4:2:0.  RGB models
-    (srresnet/srgan) need full-resolution color, so their output is C444.
-    """
-    import dataclasses as _dc
-
-    import jax.numpy as jnp
-
-    from ml_super_resolution_tpu.data.video import Y4MMeta, Y4MReader, Y4MWriter
-    from ml_super_resolution_tpu.infer import upscale_frames, upscale_luma_frames
-    from ml_super_resolution_tpu.models import MODEL_SPECS
-    from ml_super_resolution_tpu.ops.color import rgb_to_ycbcr, ycbcr_to_rgb
-    from ml_super_resolution_tpu.ops.resize import imresize
-
-    name, scale = cfg.model.name, cfg.model.scale
-    y_only = MODEL_SPECS[name]["y_only"]
-
-    def to_u8(x):
-        return np.asarray(
-            jnp.round(jnp.clip(x, 0.0, 1.0) * 255.0).astype(jnp.uint8))
+    The pipeline itself (luma-direct Y-channel models, 4:2:0 preservation,
+    C444 for RGB models) lives in ``infer.upscale_y4m_stream`` — shared with
+    the HTTP streaming endpoint (``serve.py`` ``POST /upscale_y4m``)."""
+    from ml_super_resolution_tpu.data.video import Y4MReader, Y4MWriter
+    from ml_super_resolution_tpu.infer import upscale_y4m_stream
 
     with Y4MReader(in_path) as rd:
-        meta = rd.meta
-        mono = meta.chroma_div is None
-        out_cs = meta.colorspace if (y_only or mono) else "C444"
-        out_meta = _dc.replace(
-            meta, width=meta.width * scale, height=meta.height * scale,
-            colorspace=out_cs)
-        done = 0
-        with Y4MWriter(out_path, out_meta) as wr:
-
-            def flush(batch):
-                nonlocal done
-                ys = jnp.asarray(np.stack([f[0] for f in batch]))[..., None]
-                if y_only:
-                    sr_y = np.asarray(upscale_luma_frames(
-                        model, variables, ys, name, scale, mesh=mesh,
-                        use_pallas=args.pallas,
-                        ensemble=args.ensemble, int8=args.int8))[..., 0]
-                    if mono:
-                        cbcr_sr = [(None, None)] * len(batch)
-                    else:
-                        cbcr = jnp.asarray(np.stack(
-                            [np.stack([f[1], f[2]], axis=-1) for f in batch]
-                        )).astype(jnp.float32) / 255.0
-                        up = to_u8(imresize(cbcr, scale=float(scale)))
-                        cbcr_sr = [(up[i, ..., 0], up[i, ..., 1])
-                                   for i in range(len(batch))]
-                else:
-                    if mono:
-                        rgb = np.stack([f[0] for f in batch])[..., None]
-                        rgb = np.repeat(rgb, 3, axis=-1)
-                    else:
-                        y = jnp.asarray(
-                            np.stack([f[0] for f in batch])
-                        ).astype(jnp.float32)[..., None] / 255.0
-                        cbcr = jnp.asarray(np.stack(
-                            [np.stack([f[1], f[2]], axis=-1) for f in batch]
-                        )).astype(jnp.float32) / 255.0
-                        cbcr_full = imresize(
-                            cbcr, out_shape=(meta.height, meta.width))
-                        rgb = to_u8(ycbcr_to_rgb(
-                            jnp.concatenate([y, cbcr_full], axis=-1)))
-                    sr_rgb = upscale_frames(
-                        model, variables, jnp.asarray(rgb), name,
-                        scale, mesh=mesh, use_pallas=args.pallas,
-                        ensemble=args.ensemble, int8=args.int8)
-                    out_ycc = to_u8(rgb_to_ycbcr(
-                        sr_rgb.astype(jnp.float32) / 255.0))
-                    sr_y = out_ycc[..., 0]
-                    cbcr_sr = ([(None, None)] * len(batch) if mono else
-                               [(out_ycc[i, ..., 1], out_ycc[i, ..., 2])
-                                for i in range(len(batch))])
-                for i in range(len(batch)):
-                    wr.write(sr_y[i], *cbcr_sr[i])
-                    done += 1
-
-            batch = []
-            for frame in rd:
-                batch.append(frame)
-                if len(batch) == args.batch:
-                    flush(batch)
-                    batch = []
-            if batch:
-                flush(batch)
+        out_meta, done = upscale_y4m_stream(
+            rd, lambda m: Y4MWriter(out_path, m), model, variables,
+            cfg.model.name, cfg.model.scale, mesh=mesh, batch=args.batch,
+            use_pallas=args.pallas, ensemble=args.ensemble, int8=args.int8)
     print(json.dumps({
-        "frames": done, "model": name, "scale": scale, "step": step,
-        "colorspace": out_cs,
+        "frames": done, "model": cfg.model.name, "scale": cfg.model.scale,
+        "step": step, "colorspace": out_meta.colorspace,
         "output_size": [out_meta.width, out_meta.height],
     }))
     return 0

@@ -27,7 +27,6 @@ not model; the tag is preserved verbatim), C422, C444, Cmono.
 
 from __future__ import annotations
 
-import io
 from dataclasses import dataclass
 from pathlib import Path
 
@@ -111,12 +110,17 @@ class Y4MReader:
     ``(H, W)`` / ``(Hc, Wc)`` arrays; stream metadata is on ``.meta``.
     """
 
-    def __init__(self, path: str | Path):
-        self._f = open(path, "rb")
+    def __init__(self, path):
+        """``path``: a filesystem path, or any binary file-like object with
+        ``read``/``readline`` (e.g. an HTTP request body) — streams parse
+        incrementally, nothing is slurped."""
+        self._owns = not hasattr(path, "read")
+        self._f = open(path, "rb") if self._owns else path
         try:
             self.meta = _parse_header(self._readline())
         except Exception:
-            self._f.close()
+            if self._owns:
+                self._f.close()
             raise
 
     def _readline(self) -> bytes:
@@ -149,7 +153,8 @@ class Y4MReader:
                 yield y, cb, cr
 
     def close(self):
-        self._f.close()
+        if self._owns:
+            self._f.close()
 
     def __enter__(self):
         return self
@@ -170,7 +175,9 @@ class Y4MWriter:
                 f"{meta.colorspace} needs dimensions divisible by {div}, "
                 f"got {meta.width}x{meta.height}")
         self.meta = meta
-        self._f: io.BufferedWriter = open(path, "wb")
+        # path or any binary file-like with .write (e.g. a chunked HTTP body)
+        self._owns = not hasattr(path, "write")
+        self._f = open(path, "wb") if self._owns else path
         hdr = (f"YUV4MPEG2 W{meta.width} H{meta.height} F{meta.rate} "
                f"I{meta.interlace} A{meta.aspect} {meta.colorspace}\n")
         self._f.write(hdr.encode("ascii"))
@@ -193,7 +200,8 @@ class Y4MWriter:
                 self._f.write(p.tobytes())
 
     def close(self):
-        self._f.close()
+        if self._owns:
+            self._f.close()
 
     def __enter__(self):
         return self

@@ -18,7 +18,8 @@ from ml_super_resolution_tpu.ops.color import rgb_to_ycbcr, ycbcr_to_rgb
 from ml_super_resolution_tpu.ops.resize import imresize
 from ml_super_resolution_tpu.parallel.tiling import tiled_apply, tiled_apply_2d
 
-__all__ = ["d4_ensemble", "upscale_frames", "upscale_image", "upscale_luma_frames"]
+__all__ = ["d4_ensemble", "upscale_frames", "upscale_image",
+           "upscale_luma_frames", "upscale_y4m_stream"]
 
 
 def d4_ensemble(apply_fn):
@@ -272,6 +273,97 @@ def upscale_luma_frames(
                                   scale if spec["lr_space"] else 1)
     sr = (d4_ensemble(net_fn) if ensemble else net_fn)(net_in)
     return jnp.round(jnp.clip(sr, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
+
+def upscale_y4m_stream(rd, make_writer, model, variables, model_name: str,
+                       scale: int, mesh=None, batch: int = 8,
+                       use_pallas: bool = False, ensemble: bool = False,
+                       int8: bool = False):
+    """Upscale a Y4M stream: ``rd`` (an open Y4MReader) -> a writer built by
+    ``make_writer(out_meta)``.  Returns ``(out_meta, frames_done)``.
+
+    The one Y4M pipeline, shared by the CLI file path (``sr upscale
+    in.y4m``) and the HTTP streaming endpoint (``POST /upscale_y4m``):
+    Y-channel models consume the container's studio-swing luma planes with
+    zero color conversion and chroma is protocol-bicubic-upscaled at its
+    own subsampled resolution (4:2:0 stays 4:2:0); RGB models
+    (srresnet/srgan/edsr) need full-resolution color, so their output is
+    C444.  Frames are processed in batches of ``batch``.
+    """
+    import dataclasses as _dc
+
+    from ml_super_resolution_tpu.models import MODEL_SPECS
+    from ml_super_resolution_tpu.ops.color import rgb_to_ycbcr, ycbcr_to_rgb
+    from ml_super_resolution_tpu.ops.resize import imresize
+
+    y_only = MODEL_SPECS[model_name]["y_only"]
+    meta = rd.meta
+    mono = meta.chroma_div is None
+    out_cs = meta.colorspace if (y_only or mono) else "C444"
+    out_meta = _dc.replace(
+        meta, width=meta.width * scale, height=meta.height * scale,
+        colorspace=out_cs)
+    wr = make_writer(out_meta)
+    done = 0
+
+    def to_u8(x):
+        return np.asarray(
+            jnp.round(jnp.clip(x, 0.0, 1.0) * 255.0).astype(jnp.uint8))
+
+    def flush(frames):
+        nonlocal done
+        ys = jnp.asarray(np.stack([f[0] for f in frames]))[..., None]
+        if y_only:
+            sr_y = np.asarray(upscale_luma_frames(
+                model, variables, ys, model_name, scale, mesh=mesh,
+                use_pallas=use_pallas, ensemble=ensemble, int8=int8))[..., 0]
+            if mono:
+                cbcr_sr = [(None, None)] * len(frames)
+            else:
+                cbcr = jnp.asarray(np.stack(
+                    [np.stack([f[1], f[2]], axis=-1) for f in frames]
+                )).astype(jnp.float32) / 255.0
+                up = to_u8(imresize(cbcr, scale=float(scale)))
+                cbcr_sr = [(up[i, ..., 0], up[i, ..., 1])
+                           for i in range(len(frames))]
+        else:
+            if mono:
+                rgb = np.stack([f[0] for f in frames])[..., None]
+                rgb = np.repeat(rgb, 3, axis=-1)
+            else:
+                y = jnp.asarray(
+                    np.stack([f[0] for f in frames])
+                ).astype(jnp.float32)[..., None] / 255.0
+                cbcr = jnp.asarray(np.stack(
+                    [np.stack([f[1], f[2]], axis=-1) for f in frames]
+                )).astype(jnp.float32) / 255.0
+                cbcr_full = imresize(cbcr, out_shape=(meta.height, meta.width))
+                rgb = to_u8(ycbcr_to_rgb(jnp.concatenate([y, cbcr_full], axis=-1)))
+            sr_rgb = upscale_frames(
+                model, variables, jnp.asarray(rgb), model_name, scale,
+                mesh=mesh, use_pallas=use_pallas, ensemble=ensemble,
+                int8=int8)
+            out_ycc = to_u8(rgb_to_ycbcr(sr_rgb.astype(jnp.float32) / 255.0))
+            sr_y = out_ycc[..., 0]
+            cbcr_sr = ([(None, None)] * len(frames) if mono else
+                       [(out_ycc[i, ..., 1], out_ycc[i, ..., 2])
+                        for i in range(len(frames))])
+        for i in range(len(frames)):
+            wr.write(sr_y[i], *cbcr_sr[i])
+            done += 1
+
+    try:
+        pending = []
+        for frame in rd:
+            pending.append(frame)
+            if len(pending) == batch:
+                flush(pending)
+                pending = []
+        if pending:
+            flush(pending)
+    finally:
+        wr.close()
+    return out_meta, done
 
 
 def upscale_image(

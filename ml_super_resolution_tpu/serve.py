@@ -34,6 +34,28 @@ import numpy as np
 __all__ = ["serve"]
 
 
+class _BoundedReader:
+    """File-like view over the first ``n`` bytes of ``f`` — lets the Y4M
+    parser stream an HTTP request body without reading past Content-Length
+    (which would block on the open socket)."""
+
+    def __init__(self, f, n: int):
+        self._f, self._n = f, n
+
+    def read(self, k: int) -> bytes:
+        k = min(k, self._n)
+        if k <= 0:
+            return b""
+        buf = self._f.read(k)
+        self._n -= len(buf)
+        return buf
+
+    def readline(self, limit: int = 4096) -> bytes:
+        line = self._f.readline(min(limit, self._n)) if self._n > 0 else b""
+        self._n -= len(line)
+        return line
+
+
 def _bucket(n: int, max_batch: int) -> int:
     b = 1
     while b < n and b < max_batch:
@@ -142,7 +164,9 @@ def serve(trainer, state, cfg, host: str = "127.0.0.1", port: int = 8600,
 
     from ml_super_resolution_tpu.infer import upscale_frames
 
-    def make_device_fn(trainer, state, cfg):
+    stream_ctx: dict = {}  # primary model handles for POST /upscale_y4m
+
+    def make_device_fn(trainer, state, cfg, primary: bool = False):
         import jax.numpy as jnp
 
         model = trainer.model
@@ -158,6 +182,9 @@ def serve(trainer, state, cfg, host: str = "127.0.0.1", port: int = 8600,
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
         model_name, scale = cfg.model.name, cfg.model.scale
+        if primary:
+            stream_ctx.update(model=model, variables=variables,
+                              name=model_name, scale=scale)
 
         def device_fn(imgs: np.ndarray) -> np.ndarray:
             return np.asarray(upscale_frames(
@@ -186,7 +213,8 @@ def serve(trainer, state, cfg, host: str = "127.0.0.1", port: int = 8600,
                                  window_ms=window_ms)}
     else:
         model_name, scale = cfg.model.name, cfg.model.scale
-        batchers = {"": _Batcher(make_device_fn(trainer, state, cfg),
+        batchers = {"": _Batcher(make_device_fn(trainer, state, cfg,
+                                                primary=True),
                                  max_batch=max_batch, window_ms=window_ms)}
         for name, (tr_i, st_i, cfg_i) in (extra_models or {}).items():
             batchers[name] = _Batcher(make_device_fn(tr_i, st_i, cfg_i),
@@ -234,6 +262,9 @@ def serve(trainer, state, cfg, host: str = "127.0.0.1", port: int = 8600,
             from urllib.parse import parse_qs, urlparse
 
             url = urlparse(self.path)
+            if url.path == "/upscale_y4m":
+                self._y4m_stream()
+                return
             if url.path != "/upscale":
                 self._json(404, {"error": "not found"})
                 return
@@ -262,6 +293,38 @@ def serve(trainer, state, cfg, host: str = "127.0.0.1", port: int = 8600,
             self.send_header("Content-Length", str(len(out)))
             self.end_headers()
             self.wfile.write(out)
+
+        def _y4m_stream(self):
+            """POST a Y4M container, stream back the upscaled Y4M: frames
+            are read, upscaled in batches and written as they complete —
+            the response begins before the request finishes processing
+            (HTTP/1.0 close-delimited body; errors after the 200 status has
+            been sent surface as a truncated stream).  Runs the shared
+            pipeline ``infer.upscale_y4m_stream`` directly on the request
+            thread; PNG micro-batching traffic is unaffected."""
+            from ml_super_resolution_tpu.data.video import Y4MReader, Y4MWriter
+            from ml_super_resolution_tpu.infer import upscale_y4m_stream
+
+            if not stream_ctx:
+                self._json(400, {"error": "y4m streaming needs a checkpoint-"
+                                          "backed server (not --from-export)"})
+                return
+            length = int(self.headers.get("Content-Length", "0"))
+            if length <= 0:
+                self._json(411, {"error": "Content-Length required"})
+                return
+            try:
+                rd = Y4MReader(_BoundedReader(self.rfile, length))
+            except ValueError as e:
+                self._json(400, {"error": str(e)})
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "video/x-yuv4mpeg2")
+            self.end_headers()
+            upscale_y4m_stream(
+                rd, lambda m: Y4MWriter(self.wfile, m),
+                stream_ctx["model"], stream_ctx["variables"],
+                stream_ctx["name"], stream_ctx["scale"], batch=max_batch)
 
     httpd = ThreadingHTTPServer((host, port), Handler)
     if ready_event is not None:

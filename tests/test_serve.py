@@ -157,3 +157,63 @@ def test_serve_multi_model_and_bf16(tmp_path, capsys):
     except urllib.error.HTTPError as e:
         raised = e.code == 404
     assert raised
+
+
+def test_serve_y4m_streaming(tmp_path, capsys):
+    """POST /upscale_y4m: stream a C420 clip up, byte-identical to the CLI
+    file path (both run infer.upscale_y4m_stream)."""
+    from ml_super_resolution_tpu.data.video import Y4MMeta, Y4MWriter
+
+    wd = tmp_path / "run"
+    main([
+        "train", "--model", "espcn", "--scale", "2",
+        "--workdir", str(wd), "--steps", "2", "--batch-size", "4",
+        "--patch-size", "32", "--dp", "1",
+        "--ckpt-every", "2", "--eval-every", "1000", "--log-every", "10",
+    ])
+    capsys.readouterr()
+
+    rng = np.random.default_rng(9)
+    h, w = 16, 24
+    clip = tmp_path / "clip.y4m"
+    with Y4MWriter(clip, Y4MMeta(width=w, height=h, rate="24:1")) as wr:
+        for _ in range(3):
+            wr.write((rng.random((h, w)) * 255).astype(np.uint8),
+                     (rng.random((h // 2, w // 2)) * 255).astype(np.uint8),
+                     (rng.random((h // 2, w // 2)) * 255).astype(np.uint8))
+
+    # reference: the CLI file path
+    ref_out = tmp_path / "ref.y4m"
+    main(["upscale", "--workdir", str(wd), "--input", str(clip),
+          "--output", str(ref_out), "--batch", "2"])
+    capsys.readouterr()
+
+    from ml_super_resolution_tpu.cli import _load_run
+
+    trainer, state, step, cfg = _load_run(str(wd))
+    ready = threading.Event()
+    th = threading.Thread(
+        target=serve, args=(trainer, state, cfg),
+        kwargs=dict(port=8621, ready_event=ready, max_batch=2), daemon=True)
+    th.start()
+    assert ready.wait(timeout=60)
+
+    req = urllib.request.Request(
+        "http://127.0.0.1:8621/upscale_y4m", data=clip.read_bytes(),
+        method="POST")
+    with urllib.request.urlopen(req, timeout=300) as r:
+        body = r.read()
+    assert body == ref_out.read_bytes()
+
+    # not a y4m stream -> clean 400, server stays healthy
+    bad = urllib.request.Request(
+        "http://127.0.0.1:8621/upscale_y4m", data=b"not a stream",
+        method="POST")
+    try:
+        urllib.request.urlopen(bad, timeout=60)
+        assert False, "expected HTTPError"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+    with urllib.request.urlopen("http://127.0.0.1:8621/healthz",
+                                timeout=30) as r:
+        assert json.loads(r.read())["status"] == "ok"
