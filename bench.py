@@ -383,9 +383,11 @@ def bench_edsr_folded(batches=(1, 4)):
         print(f"# edsr-folded bench failed: {e}", file=sys.stderr)
 
 
-def bench_serve_load(clients: int = 4, per_client: int = 25):
-    """HTTP serving load row: requests/s with concurrent clients hammering
-    the micro-batched /upscale endpoint (bf16 trunk, 128x128 -> 512x512)."""
+def bench_serve_load(client_counts=(1, 4, 8), per_client: int = 15):
+    """HTTP serving load rows: requests/s vs concurrent client count against
+    the micro-batched /upscale endpoint (bf16 trunk, 128x128 -> 512x512).
+    One server session, one row per client count — the scaling curve shows
+    whether micro-batching actually amortizes dispatches under load."""
     try:
         import io
         import threading
@@ -432,24 +434,26 @@ def bench_serve_load(clients: int = 4, per_client: int = 25):
 
         post_once()  # warm: compile the serving program
 
-        done = [0] * clients
+        for clients in client_counts:
+            done = [0] * clients
 
-        def client(i):
-            for _ in range(per_client):
-                post_once()
-                done[i] += 1
+            def client(i):
+                for _ in range(per_client):
+                    post_once()
+                    done[i] += 1
 
-        t0 = _t.perf_counter()
-        ths = [threading.Thread(target=client, args=(i,))
-               for i in range(clients)]
-        for t in ths:
-            t.start()
-        for t in ths:
-            t.join(timeout=250)
-        dt = _t.perf_counter() - t0
-        n = sum(done)
-        print(f"# serve-load (espcn-bf16 x4, {clients} clients, 128px): "
-              f"{n/dt:.1f} req/s over {n} reqs ({dt:.1f}s)", file=sys.stderr)
+            t0 = _t.perf_counter()
+            ths = [threading.Thread(target=client, args=(i,))
+                   for i in range(clients)]
+            for t in ths:
+                t.start()
+            for t in ths:
+                t.join(timeout=250)
+            dt = _t.perf_counter() - t0
+            n = sum(done)
+            print(f"# serve-load (espcn-bf16 x4, {clients} clients, 128px): "
+                  f"{n/dt:.1f} req/s over {n} reqs ({dt:.1f}s)",
+                  file=sys.stderr)
     except TimeoutError:
         raise
     except Exception as e:
