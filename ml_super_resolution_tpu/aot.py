@@ -46,26 +46,15 @@ def _pipeline(model, variables, model_name: str, scale: int,
     resulting quantized forward rides into ``upscale_frames`` as
     ``prebuilt_apply_fn``.
     """
-    import jax.numpy as jnp
-
     from ml_super_resolution_tpu.infer import (
-        _make_apply_fn,
-        _network_input,
+        make_int8_apply_fn,
         upscale_frames,
     )
-    from ml_super_resolution_tpu.models import MODEL_SPECS
-    from ml_super_resolution_tpu.ops.color import rgb_to_ycbcr
 
     apply_fn = None
     if int8_calib_u8 is not None:
-        spec = MODEL_SPECS[model_name]
-        x = jnp.asarray(int8_calib_u8).astype(jnp.float32) / 255.0
-        if spec["y_only"]:
-            x = rgb_to_ycbcr(x)[..., :1]
-        net_calib = _network_input(x, scale, spec["lr_space"])
-        apply_fn = _make_apply_fn(model, variables, model_name, scale,
-                                  use_pallas=False, tiled=False,
-                                  int8_calib=net_calib[:1])
+        apply_fn = make_int8_apply_fn(model, variables, model_name, scale,
+                                      int8_calib_u8)
 
     def pipeline(frames_u8):
         return upscale_frames(model, variables, frames_u8, model_name, scale,

@@ -490,7 +490,8 @@ def cmd_serve(args) -> int:
     }), flush=True)
     serve(trainer, state, cfg, host=args.host, port=args.port,
           use_pallas=args.pallas, max_batch=args.max_batch,
-          window_ms=args.window_ms, bf16=args.bf16, extra_models=extra)
+          window_ms=args.window_ms, bf16=args.bf16, extra_models=extra,
+          int8=args.int8)
     return 0
 
 
@@ -621,6 +622,9 @@ def main(argv=None) -> int:
     p_serve.add_argument("--pallas", action="store_true")
     p_serve.add_argument("--bf16", action="store_true",
                          help="bfloat16 serving trunk (f32 params)")
+    p_serve.add_argument("--int8", action="store_true",
+                         help="PTQ int8 serving trunk (quant.py), "
+                              "calibrated on the first request batch")
     p_serve.add_argument("--extra", action="append", default=[],
                          metavar="NAME=WORKDIR",
                          help="additional models: POST /upscale?model=NAME")

@@ -18,8 +18,26 @@ from ml_super_resolution_tpu.ops.color import rgb_to_ycbcr, ycbcr_to_rgb
 from ml_super_resolution_tpu.ops.resize import imresize
 from ml_super_resolution_tpu.parallel.tiling import tiled_apply, tiled_apply_2d
 
-__all__ = ["d4_ensemble", "upscale_frames", "upscale_image",
-           "upscale_luma_frames", "upscale_y4m_stream"]
+__all__ = ["d4_ensemble", "make_int8_apply_fn", "upscale_frames",
+           "upscale_image", "upscale_luma_frames", "upscale_y4m_stream"]
+
+
+def make_int8_apply_fn(model, variables, model_name: str, scale: int,
+                       frames_u8):
+    """Build the PTQ int8 forward (quant.py) calibrated on uint8 RGB
+    ``frames_u8`` — runs the same preprocessing as :func:`upscale_frames`
+    to land in network-input space, then calibrates eagerly.  The result is
+    a shape-generic ``prebuilt_apply_fn`` for repeated/traced use (serving,
+    AOT export) where per-call self-calibration would be wrong or unsafe.
+    """
+    spec = MODEL_SPECS[model_name]
+    x = jnp.asarray(frames_u8).astype(jnp.float32) / 255.0
+    if spec["y_only"]:
+        x = rgb_to_ycbcr(x)[..., :1]
+    net_calib = _network_input(x, scale, spec["lr_space"])
+    return _make_apply_fn(model, variables, model_name, scale,
+                          use_pallas=False, tiled=False,
+                          int8_calib=net_calib[:1])
 
 
 def d4_ensemble(apply_fn):

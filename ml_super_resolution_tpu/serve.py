@@ -146,7 +146,8 @@ class _Batcher:
 def serve(trainer, state, cfg, host: str = "127.0.0.1", port: int = 8600,
           use_pallas: bool = False, ready_event=None,
           max_batch: int = 8, window_ms: float = 4.0, bf16: bool = False,
-          extra_models: dict | None = None, artifact: str | None = None):
+          extra_models: dict | None = None, artifact: str | None = None,
+          int8: bool = False):
     """Blocking serve loop; ``ready_event`` (threading.Event) set when bound.
 
     ``bf16`` swaps the serving trunk to bfloat16 compute (params stay f32 on
@@ -159,6 +160,10 @@ def serve(trainer, state, cfg, host: str = "127.0.0.1", port: int = 8600,
     checkpoint: ``trainer``/``state``/``cfg`` may all be None — the serving
     host needs no model code.  Requests must match the exported LR frame
     geometry; the micro-batcher buckets over the exported batch sizes.
+
+    ``int8`` serves the PTQ-quantized conv stack (quant.py): the first
+    request batch calibrates the activation scales (one eager pass), every
+    later request reuses the quantized forward — the int8-MXU serving path.
     """
     from PIL import Image
 
@@ -185,11 +190,24 @@ def serve(trainer, state, cfg, host: str = "127.0.0.1", port: int = 8600,
         if primary:
             stream_ctx.update(model=model, variables=variables,
                               name=model_name, scale=scale)
+        qfn_cache: dict = {}
 
         def device_fn(imgs: np.ndarray) -> np.ndarray:
+            prebuilt = None
+            if int8:
+                # calibrate once, on the first request batch; the quantized
+                # forward is shape-generic so every later shape reuses it
+                if "fn" not in qfn_cache:
+                    from ml_super_resolution_tpu.infer import (
+                        make_int8_apply_fn,
+                    )
+
+                    qfn_cache["fn"] = make_int8_apply_fn(
+                        model, variables, model_name, scale, imgs[:1])
+                prebuilt = qfn_cache["fn"]
             return np.asarray(upscale_frames(
                 model, variables, jnp.asarray(imgs), model_name, scale,
-                use_pallas=use_pallas,
+                use_pallas=use_pallas, prebuilt_apply_fn=prebuilt,
             ))
 
         return device_fn
@@ -248,7 +266,8 @@ def serve(trainer, state, cfg, host: str = "127.0.0.1", port: int = 8600,
             if self.path == "/healthz":
                 self._json(200, {
                     "status": "ok", "model": model_name, "scale": scale,
-                    "bf16": bf16, "artifact": str(artifact or ""),
+                    "bf16": bf16, "int8": int8,
+                    "artifact": str(artifact or ""),
                     "models": [n for n in batchers if n] or [model_name],
                     "served": batcher.served, "batches": batcher.batches,
                     "mean_batch": round(

@@ -217,3 +217,58 @@ def test_serve_y4m_streaming(tmp_path, capsys):
     with urllib.request.urlopen("http://127.0.0.1:8621/healthz",
                                 timeout=30) as r:
         assert json.loads(r.read())["status"] == "ok"
+
+
+def test_serve_int8_trunk(tmp_path, capsys):
+    """--int8 serving: first request calibrates, later requests (including a
+    different shape) reuse the quantized forward; output close to f32."""
+    wd = tmp_path / "run"
+    main([
+        "train", "--model", "espcn", "--scale", "2",
+        "--workdir", str(wd), "--steps", "2", "--batch-size", "4",
+        "--patch-size", "32", "--dp", "1",
+        "--ckpt-every", "2", "--eval-every", "1000", "--log-every", "10",
+    ])
+    capsys.readouterr()
+    from ml_super_resolution_tpu.cli import _load_run
+
+    trainer, state, step, cfg = _load_run(str(wd))
+    ready = threading.Event()
+    th = threading.Thread(
+        target=serve, args=(trainer, state, cfg),
+        kwargs=dict(port=8623, ready_event=ready, int8=True), daemon=True)
+    th.start()
+    assert ready.wait(timeout=60)
+
+    with urllib.request.urlopen("http://127.0.0.1:8623/healthz",
+                                timeout=30) as r:
+        assert json.loads(r.read())["int8"] is True
+
+    rng = np.random.default_rng(2)
+
+    def post(img):
+        b = io.BytesIO()
+        Image.fromarray(img).save(b, format="PNG")
+        rq = urllib.request.Request(
+            "http://127.0.0.1:8623/upscale", data=b.getvalue(),
+            method="POST")
+        with urllib.request.urlopen(rq, timeout=120) as resp:
+            return np.asarray(Image.open(io.BytesIO(resp.read())))
+
+    img = (rng.random((24, 32, 3)) * 255).astype(np.uint8)
+    sr = post(img)
+    assert sr.shape == (48, 64, 3)
+    # second shape reuses the calibrated forward (no recalibration error)
+    img2 = (rng.random((16, 16, 3)) * 255).astype(np.uint8)
+    assert post(img2).shape == (32, 32, 3)
+
+    # int8 output tracks the f32 path closely
+    import jax.numpy as jnp
+
+    from ml_super_resolution_tpu.infer import upscale_frames
+
+    v = {"params": trainer.eval_params(state)}
+    f32 = np.asarray(upscale_frames(
+        trainer.model, v, jnp.asarray(img)[None], "espcn", 2))[0]
+    err = np.abs(sr.astype(int) - f32.astype(int))
+    assert np.percentile(err, 99) <= 8 and err.mean() < 2.0
