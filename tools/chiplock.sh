@@ -66,16 +66,23 @@ with_chip_wd() {
 }
 
 # Poll until a tiny on-chip op answers (post-wedge recovery gate).
-#   chip_health [attempts]   # ~2.5 min per attempt incl. teardown gap
+#   chip_health [attempts] [probe_timeout_s] [spacing_s]
+#
+# Cadence lesson (measured 2026-08-17 22:30): a probe that times out is
+# itself a SIGTERM of a mid-claim process — which is exactly the action
+# that wedges the relay.  A fast-cadence gate (60 s probes / 90 s apart)
+# can therefore KEEP a wedged relay wedged.  Defaults are now patient:
+# 300 s probe budget (post-wedge claims can take minutes) and 600 s
+# spacing so the relay gets real quiet time between failures.
 chip_health() {
-  local tries=${1:-20} i
+  local tries=${1:-12} budget=${2:-300} gap=${3:-600} i
   for i in $(seq 1 "$tries"); do
-    if with_chip timeout 60 python -c \
+    if with_chip timeout "$budget" python -c \
       "import jax, jax.numpy as jnp; print('chip ok', float(jnp.sum(jnp.ones((8,128)))))"; then
       return 0
     fi
     echo "chip_health: attempt $i not ready ($(date -u +%H:%M))" >&2
-    sleep 90
+    sleep "$gap"
   done
   return 1
 }
