@@ -673,6 +673,8 @@ def main(argv=None) -> int:
     p_par.add_argument("--workdirs", default="",
                        help="comma list of trained run dirs to score")
     p_par.add_argument("--sets", default="", help="subset, e.g. Set5,Set14")
+    p_par.add_argument("--int8", action="store_true",
+                       help="PTQ int8 rows: quantized PSNR deltas vs paper")
     p_par.add_argument("--ensemble", action="store_true",
                        help="D4 self-ensemble rows (EDSR+ protocol)")
     p_par.add_argument("--best", action="store_true",

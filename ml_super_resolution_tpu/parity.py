@@ -101,6 +101,7 @@ def run_parity(
     best: bool = False,
     sets: Sequence[str] = (),
     ensemble: bool = False,
+    int8: bool = False,
 ) -> dict:
     """Evaluate bicubic + every run dir on every benchmark set found.
 
@@ -139,9 +140,11 @@ def run_parity(
             rd: dict = {"model": cfg.model.name, "step": step}
             if ensemble:
                 rd["ensemble"] = True
+            if int8:
+                rd["int8"] = True
             for s in scales:
                 r = trainer.evaluate(state, images, scale=s,
-                                     ensemble=ensemble)
+                                     ensemble=ensemble, int8=int8)
                 paper = PAPER_PSNR.get((cfg.model.name, set_name, s))
                 if paper is not None:
                     r["paper"] = paper
@@ -194,6 +197,7 @@ def main_parity(args) -> int:
         best=args.best,
         sets=[s for s in args.sets.split(",") if s],
         ensemble=getattr(args, "ensemble", False),
+        int8=getattr(args, "int8", False),
     )
     md = render_markdown(report)
     if args.out:
