@@ -73,6 +73,11 @@ def export_artifact(model, variables, model_name: str, scale: int,
 
     ``int8`` quantizes the conv stack (quant.py) calibrated on ``calib_u8``
     (an ``(N, height, width, 3)`` uint8 batch; required when int8).
+
+    ``batches="any"`` exports ONE shape-polymorphic program (symbolic batch
+    dim via ``jax.export.symbolic_shape``) instead of per-bucket blobs: the
+    artifact serves every batch size, specializing per concrete shape at
+    call time on the target (TPU compile-cache amortizes this).
     """
     import jax
     from jax import export as jexport
@@ -80,15 +85,23 @@ def export_artifact(model, variables, model_name: str, scale: int,
     if int8 and calib_u8 is None:
         raise ValueError("int8 export needs calib_u8 (a representative "
                          "uint8 LR frame batch)")
-    batches = sorted(set(int(b) for b in batches))
+    symbolic = isinstance(batches, str)
+    if symbolic and batches != "any":
+        raise ValueError(f"batches must be ints or 'any', got {batches!r}")
     fn = _pipeline(model, variables, model_name, scale,
                    int8_calib_u8=calib_u8 if int8 else None)
     jfn = jax.jit(fn)
-    blobs = []
-    for b in batches:
-        spec = jax.ShapeDtypeStruct((b, height, width, 3), jax.numpy.uint8)
-        blobs.append(jexport.export(jfn, platforms=tuple(platforms))(
-            spec).serialize())
+    if symbolic:
+        batches = "any"
+        (bdim,) = jexport.symbolic_shape("b")
+        specs = [jax.ShapeDtypeStruct((bdim, height, width, 3),
+                                      jax.numpy.uint8)]
+    else:
+        batches = sorted(set(int(b) for b in batches))
+        specs = [jax.ShapeDtypeStruct((b, height, width, 3), jax.numpy.uint8)
+                 for b in batches]
+    blobs = [jexport.export(jfn, platforms=tuple(platforms))(s).serialize()
+             for s in specs]
     header = {
         "format": "SRX1",
         "model": model_name,
@@ -125,8 +138,10 @@ def load_artifact(path):
     (hlen,) = struct.unpack("<I", raw[4:8])
     header = json.loads(raw[8:8 + hlen].decode())
     offset = 8 + hlen
+    symbolic = header["batches"] == "any"
+    keys = ["any"] if symbolic else header["batches"]
     calls = {}
-    for b, size in zip(header["batches"], header["blob_sizes"]):
+    for b, size in zip(keys, header["blob_sizes"]):
         calls[b] = jexport.deserialize(raw[offset:offset + size]).call
         offset += size
 
@@ -136,7 +151,7 @@ def load_artifact(path):
             raise ValueError(
                 f"artifact serves {header['height']}x{header['width']}x3 "
                 f"LR frames, got {h}x{w}x{c}")
-        call = calls.get(n)
+        call = calls["any"] if symbolic else calls.get(n)
         if call is None:
             raise ValueError(
                 f"batch {n} not exported; available: {header['batches']}")

@@ -449,7 +449,8 @@ def cmd_export(args) -> int:
         x = jnp.asarray(img, jnp.float32)[None] / 255.0
         calib = np.asarray(jnp.round(jnp.clip(
             imresize(x, out_shape=(h, w)), 0.0, 1.0) * 255.0).astype(jnp.uint8))
-    batches = [int(b) for b in args.batches.split(",")]
+    batches = ("any" if args.batches.strip().lower() == "any"
+               else [int(b) for b in args.batches.split(",")])
     header = export_artifact(
         model, variables, cfg.model.name, cfg.model.scale, h, w,
         args.output, batches=batches, int8=args.int8, calib_u8=calib,
@@ -642,7 +643,10 @@ def main(argv=None) -> int:
     p_exp.add_argument("--size", default="270x480",
                        help="LR frame geometry HxW (default: 1080p at x4)")
     p_exp.add_argument("--batches", default="1,2,4,8",
-                       help="micro-batch buckets to export programs for")
+                       help="micro-batch buckets to export programs for, or "
+                            "'any' for ONE shape-polymorphic program "
+                            "(symbolic batch dim; specializes per shape on "
+                            "the target)")
     p_exp.add_argument("--bf16", action="store_true",
                        help="bfloat16 compute trunk")
     p_exp.add_argument("--int8", action="store_true",

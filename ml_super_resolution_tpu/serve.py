@@ -217,16 +217,18 @@ def serve(trainer, state, cfg, host: str = "127.0.0.1", port: int = 8600,
 
         header, afn = load_artifact(artifact)
         model_name, scale = header["model"], header["scale"]
-        # _bucket pads to powers of two: cap max_batch at the largest
-        # exported power-of-two prefix so every bucket has a program.
-        avail = set(header["batches"])
-        if 1 not in avail:
-            raise ValueError(f"{artifact}: batch 1 not exported "
-                             f"(batches={sorted(avail)})")
-        b = 1
-        while b * 2 in avail:
-            b *= 2
-        max_batch = b
+        # Symbolic-batch artifacts serve any micro-batch; fixed-bucket ones
+        # cap max_batch at the largest exported power-of-two prefix so every
+        # bucket _bucket can produce has a program.
+        if header["batches"] != "any":
+            avail = set(header["batches"])
+            if 1 not in avail:
+                raise ValueError(f"{artifact}: batch 1 not exported "
+                                 f"(batches={sorted(avail)})")
+            b = 1
+            while b * 2 in avail:
+                b *= 2
+            max_batch = b
         batchers = {"": _Batcher(afn, max_batch=max_batch,
                                  window_ms=window_ms)}
     else:

@@ -147,3 +147,42 @@ def test_serve_from_export_http(espcn_run, tmp_path, capsys):
     with urllib.request.urlopen("http://127.0.0.1:8619/healthz",
                                 timeout=30) as r:
         assert json.loads(r.read())["status"] == "ok"
+
+
+def test_export_symbolic_batch(espcn_run, tmp_path, capsys):
+    """--batches any: one shape-polymorphic program serves every batch size
+    and serves over HTTP with the standard bucket ladder."""
+    from ml_super_resolution_tpu.aot import load_artifact
+    from ml_super_resolution_tpu.serve import serve
+
+    art = tmp_path / "any.srx"
+    rc = main(["export", "--workdir", str(espcn_run), "--output", str(art),
+               "--size", "24x32", "--batches", "any"])
+    assert rc == 0
+    hdr_out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert hdr_out["batches"] == "any"
+    assert len(hdr_out["blob_sizes"]) == 1
+
+    header, fn = load_artifact(art)
+    for n in (1, 3, 7):
+        out = fn((np.random.default_rng(n).random((n, 24, 32, 3)) * 255)
+                 .astype(np.uint8))
+        assert out.shape == (n, 48, 64, 3)
+    with pytest.raises(ValueError, match="artifact serves"):
+        fn(np.zeros((1, 16, 32, 3), np.uint8))
+
+    ready = threading.Event()
+    th = threading.Thread(
+        target=serve, args=(None, None, None),
+        kwargs=dict(port=8626, ready_event=ready, artifact=str(art),
+                    max_batch=4), daemon=True)
+    th.start()
+    assert ready.wait(timeout=60)
+    img = (np.random.default_rng(0).random((24, 32, 3)) * 255).astype(
+        np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    req = urllib.request.Request(
+        "http://127.0.0.1:8626/upscale", data=buf.getvalue(), method="POST")
+    with urllib.request.urlopen(req, timeout=120) as r:
+        assert np.asarray(Image.open(io.BytesIO(r.read()))).shape == (48, 64, 3)
