@@ -434,26 +434,36 @@ def bench_serve_load(client_counts=(1, 4, 8), per_client: int = 15):
 
         post_once()  # warm: compile the serving program
 
-        for clients in client_counts:
-            done = [0] * clients
+        # stop flag: if the _bounded SIGALRM interrupts a row on the main
+        # thread, the client threads must not keep hammering the in-process
+        # server and contend with the NEXT bench's device measurements
+        stop: list = []
+        try:
+            for clients in client_counts:
+                done = [0] * clients
 
-            def client(i):
-                for _ in range(per_client):
-                    post_once()
-                    done[i] += 1
+                def client(i):
+                    for _ in range(per_client):
+                        if stop:
+                            return
+                        post_once()
+                        done[i] += 1
 
-            t0 = _t.perf_counter()
-            ths = [threading.Thread(target=client, args=(i,))
-                   for i in range(clients)]
-            for t in ths:
-                t.start()
-            for t in ths:
-                t.join(timeout=250)
-            dt = _t.perf_counter() - t0
-            n = sum(done)
-            print(f"# serve-load (espcn-bf16 x4, {clients} clients, 128px): "
-                  f"{n/dt:.1f} req/s over {n} reqs ({dt:.1f}s)",
-                  file=sys.stderr)
+                t0 = _t.perf_counter()
+                ths = [threading.Thread(target=client, args=(i,),
+                                        daemon=True)
+                       for i in range(clients)]
+                for t in ths:
+                    t.start()
+                for t in ths:
+                    t.join(timeout=250)
+                dt = _t.perf_counter() - t0
+                n = sum(done)
+                print(f"# serve-load (espcn-bf16 x4, {clients} clients, "
+                      f"128px): {n/dt:.1f} req/s over {n} reqs ({dt:.1f}s)",
+                      file=sys.stderr)
+        finally:
+            stop.append(1)
     except TimeoutError:
         raise
     except Exception as e:

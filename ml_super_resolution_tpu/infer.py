@@ -102,7 +102,10 @@ def _make_apply_fn(model, variables, model_name: str, scale: int,
     if int8_calib is not None:
         from ml_super_resolution_tpu.quant import int8_apply_fn
 
-        return int8_apply_fn(model, variables, model_name, scale, int8_calib)
+        # a --bf16-rebuilt model carries dtype=bf16: the int8 epilogue /
+        # elementwise stages follow the model's compute dtype everywhere
+        return int8_apply_fn(model, variables, model_name, scale, int8_calib,
+                             dtype=getattr(model, "dtype", jnp.float32))
     if use_pallas:
         spec = MODEL_SPECS[model_name]
         if model_name == "espcn" and spec["y_only"] and not tiled:

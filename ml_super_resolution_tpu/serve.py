@@ -228,7 +228,13 @@ def serve(trainer, state, cfg, host: str = "127.0.0.1", port: int = 8600,
             b = 1
             while b * 2 in avail:
                 b *= 2
-            max_batch = b
+            # never raise a user-specified --max-batch (it may be a memory
+            # bound on the serving host), and keep it a power of two so
+            # every bucket _bucket can produce has an exported program
+            cap = min(max_batch, b)
+            max_batch = 1
+            while max_batch * 2 <= cap:
+                max_batch *= 2
         batchers = {"": _Batcher(afn, max_batch=max_batch,
                                  window_ms=window_ms)}
     else:
@@ -345,7 +351,8 @@ def serve(trainer, state, cfg, host: str = "127.0.0.1", port: int = 8600,
             upscale_y4m_stream(
                 rd, lambda m: Y4MWriter(self.wfile, m),
                 stream_ctx["model"], stream_ctx["variables"],
-                stream_ctx["name"], stream_ctx["scale"], batch=max_batch)
+                stream_ctx["name"], stream_ctx["scale"], batch=max_batch,
+                use_pallas=use_pallas, int8=int8)
 
     httpd = ThreadingHTTPServer((host, port), Handler)
     if ready_event is not None:
