@@ -204,3 +204,26 @@ def test_upscale_frames_2d_divisible(rng):
     mesh = make_mesh(dp=1, sp=2, sw=2)
     tiled = upscale_frames(model, variables, jnp.asarray(frames), "srcnn", 2, mesh=mesh)
     np.testing.assert_array_equal(np.asarray(tiled), np.asarray(whole))
+
+
+def test_upscale_frames_int8_tiled_equals_whole(rng):
+    """--tiles x --int8 composition: the quantized convs are exact integer
+    ops and the epilogue is per-element, so halo-exchange tiling must be
+    bitwise-identical to the whole-frame int8 forward."""
+    scale = 2
+    name = "espcn"
+    cfg = ModelConfig(name=name, scale=scale, channels=1)
+    model = build_model(cfg)
+    dummy = jnp.zeros((1, 16, 16, 1), jnp.float32)
+    variables = model.init(jax.random.key(0), dummy, train=False)
+
+    frames = (rng.random((2, 64, 48, 3)) * 255).astype(np.uint8)
+    whole = upscale_frames(model, variables, jnp.asarray(frames), name,
+                           scale, mesh=None, int8=True)
+    tiled = upscale_frames(model, variables, jnp.asarray(frames), name,
+                           scale, mesh=make_mesh(sp=4), int8=True)
+    np.testing.assert_array_equal(np.asarray(tiled), np.asarray(whole))
+    # and int8 really changed the numbers vs f32 (the flag is live)
+    f32 = upscale_frames(model, variables, jnp.asarray(frames), name,
+                         scale, mesh=None)
+    assert not np.array_equal(np.asarray(whole), np.asarray(f32))
