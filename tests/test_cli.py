@@ -236,6 +236,14 @@ def test_cli_int8_eval_and_upscale(tmp_path, capsys):
     assert out["int8"] is True
     assert 3 < out["psnr"] < 60
 
+    # int8 composes with the D4 self-ensemble (quantized forward under the
+    # 8-transform wrapper)
+    rc = main(["eval", "--workdir", str(wd), "--int8", "--ensemble"])
+    assert rc == 0
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["int8"] is True and out2["ensemble"] is True
+    assert 3 < out2["psnr"] < 60 and out2["psnr"] != out["psnr"]
+
     src = tmp_path / "in.png"
     Image.fromarray(
         (np.random.default_rng(0).random((20, 24, 3)) * 255).astype("uint8")
