@@ -100,3 +100,19 @@ def test_batch_generalization():
     y_ref = model.apply(variables, x2, train=False)
     fid = int8_output_fidelity_db(y_ref, fn(x2))
     assert fid >= 40.0, f"batch fidelity {fid:.1f} dB"
+
+
+def test_percentile_calibration_changes_scales():
+    """percentile<100 must tighten (or keep) every activation scale, and
+    the quantized forward still meets the fidelity gate at p99.9."""
+    name, model, shape, scale = CASES[1]  # espcn
+    x, variables = _setup(model, shape)
+    eng_max = _CalibEngine()
+    _NETS[name](eng_max, variables["params"], {}, x, scale, 1.0)
+    eng_pct = _CalibEngine(percentile=99.0)
+    _NETS[name](eng_pct, variables["params"], {}, x, scale, 1.0)
+    assert all(p <= m + 1e-12 for p, m in zip(eng_pct.sx, eng_max.sx))
+    assert any(p < m for p, m in zip(eng_pct.sx, eng_max.sx))
+    y_ref = model.apply(variables, x, train=False)
+    yq = int8_apply_fn(model, variables, name, scale, x, percentile=99.9)(x)
+    assert int8_output_fidelity_db(y_ref, yq) >= 40.0
