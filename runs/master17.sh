@@ -1,0 +1,71 @@
+#!/bin/bash
+# Last-chance recovery loop: probe every ~80 min until ~07:40 UTC.  If the
+# relay returns, run the highest-value chip payload in priority order and
+# stop ALL chip activity well before the driver's end-of-round bench.
+set -u
+export PYTHONPATH=/root/repo:/root/.axon_site
+cd /root/repo
+source tools/chiplock.sh
+
+DEADLINE=$(date -u -d '2026-08-18 07:40' +%s)
+CHUNK_STOP=$(date -u -d '2026-08-18 07:20' +%s)
+
+probe () {
+  with_chip timeout 600 python -c \
+    "import jax, jax.numpy as jnp; print('chip ok', float(jnp.sum(jnp.ones((8,128)))))"
+}
+
+ok=0
+while [ "$(date -u +%s)" -lt "$DEADLINE" ]; do
+  sleep 4800
+  echo "=== probe ($(date -u +%H:%M)) ==="
+  if probe; then ok=1; break; fi
+  echo "probe failed ($(date -u +%H:%M))"
+done
+if [ "$ok" -ne 1 ]; then
+  echo "NO RECOVERY BY DEADLINE ($(date -u +%H:%M)); leaving the relay quiet"
+  exit 1
+fi
+
+echo "=== RELAY BACK ($(date -u +%H:%M)); priority payload ==="
+echo "--- 1. bench preview"
+with_chip timeout 2400 python bench.py \
+  > runs/bench_r3_final.out 2> runs/bench_r3_final.err
+head -1 runs/bench_r3_final.out; tail -1 runs/bench_r3_final.out
+
+echo "--- 2. SRX artifact chip check"
+with_chip timeout 900 python -m ml_super_resolution_tpu.cli export \
+  --workdir runs/r3_espcn_x4 --best --output runs/espcn_x4.srx \
+  --size 270x480 --batches 1,8 > runs/aot_export.json 2> runs/aot_export.err
+tail -1 runs/aot_export.json
+with_chip timeout 900 python - > runs/aot_chip_check.out 2>&1 <<'EOF'
+import numpy as np, time, jax
+from ml_super_resolution_tpu.aot import load_artifact
+hdr, fn = load_artifact("runs/espcn_x4.srx")
+x = (np.random.default_rng(0).random((8, 270, 480, 3)) * 255).astype(np.uint8)
+out = fn(x)
+print("on-chip artifact call ok:", out.shape, out.dtype,
+      "backend:", jax.default_backend())
+EOF
+tail -2 runs/aot_chip_check.out
+
+echo "--- 3. int8 on-chip eval (espcn x4)"
+with_chip timeout 900 python -m ml_super_resolution_tpu.cli eval \
+  --workdir runs/r3_espcn_x4 --best --int8 \
+  > runs/int8_espcn_chip.json 2> runs/int8_espcn_chip.err
+tail -1 runs/int8_espcn_chip.json
+
+echo "--- 4. full EDSR chunks until $(date -u -d @$CHUNK_STOP +%H:%M)"
+for tgt in 10000 20000 30000 40000 50000 60000 70000 80000 90000 100000; do
+  [ "$(date -u +%s)" -ge "$CHUNK_STOP" ] && { echo "chunk window closed"; break; }
+  with_chip_wd 420 runs/r3_edsr_full/metrics.jsonl timeout 1800 \
+    python -m ml_super_resolution_tpu.cli train \
+    --model edsr --scale 4 --batch-size 16 --device-data --steps-per-call 8 \
+    --model-arg num_blocks=32 --model-arg features=256 --model-arg res_scale=0.1 \
+    --lr-decay-steps 20000 --lr-decay-rate 0.5 \
+    --eval-every 2000 --ckpt-every 5000 \
+    --steps "$tgt" --workdir runs/r3_edsr_full >> runs/r3_edsr_full.log 2>&1
+  tail -1 runs/r3_edsr_full.log
+done
+
+echo "MASTER17 DONE ($(date -u +%H:%M))"
