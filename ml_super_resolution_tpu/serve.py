@@ -212,29 +212,36 @@ def serve(trainer, state, cfg, host: str = "127.0.0.1", port: int = 8600,
 
         return device_fn
 
+    def _artifact_max_batch(header, path, cap: int) -> int:
+        """Micro-batch cap for an artifact: symbolic-batch artifacts serve
+        any size (keep the user's cap); fixed-bucket ones clamp to the
+        largest exported power-of-two prefix within the user's cap, so
+        every bucket ``_bucket`` can produce has a program and a user
+        --max-batch (a host memory bound) is never raised."""
+        if header["batches"] == "any":
+            return cap
+        avail = set(header["batches"])
+        if 1 not in avail:
+            raise ValueError(f"{path}: batch 1 not exported "
+                             f"(batches={sorted(avail)})")
+        b = 1
+        while b * 2 in avail:
+            b *= 2
+        cap = min(cap, b)
+        m = 1
+        while m * 2 <= cap:
+            m *= 2
+        return m
+
+    user_max_batch = max_batch
+    art_state: dict = {}  # current artifact path + header (for /reload)
     if artifact:
         from ml_super_resolution_tpu.aot import load_artifact
 
         header, afn = load_artifact(artifact)
         model_name, scale = header["model"], header["scale"]
-        # Symbolic-batch artifacts serve any micro-batch; fixed-bucket ones
-        # cap max_batch at the largest exported power-of-two prefix so every
-        # bucket _bucket can produce has a program.
-        if header["batches"] != "any":
-            avail = set(header["batches"])
-            if 1 not in avail:
-                raise ValueError(f"{artifact}: batch 1 not exported "
-                                 f"(batches={sorted(avail)})")
-            b = 1
-            while b * 2 in avail:
-                b *= 2
-            # never raise a user-specified --max-batch (it may be a memory
-            # bound on the serving host), and keep it a power of two so
-            # every bucket _bucket can produce has an exported program
-            cap = min(max_batch, b)
-            max_batch = 1
-            while max_batch * 2 <= cap:
-                max_batch *= 2
+        max_batch = _artifact_max_batch(header, artifact, user_max_batch)
+        art_state.update(path=str(artifact), header=header)
         batchers = {"": _Batcher(afn, max_batch=max_batch,
                                  window_ms=window_ms)}
     else:
@@ -272,10 +279,13 @@ def serve(trainer, state, cfg, host: str = "127.0.0.1", port: int = 8600,
 
         def do_GET(self):
             if self.path == "/healthz":
+                hdr = art_state.get("header")
                 self._json(200, {
-                    "status": "ok", "model": model_name, "scale": scale,
+                    "status": "ok",
+                    "model": hdr["model"] if hdr else model_name,
+                    "scale": hdr["scale"] if hdr else scale,
                     "bf16": bf16, "int8": int8,
-                    "artifact": str(artifact or ""),
+                    "artifact": art_state.get("path", ""),
                     "models": [n for n in batchers if n] or [model_name],
                     "served": batcher.served, "batches": batcher.batches,
                     "mean_batch": round(
@@ -291,6 +301,9 @@ def serve(trainer, state, cfg, host: str = "127.0.0.1", port: int = 8600,
             url = urlparse(self.path)
             if url.path == "/upscale_y4m":
                 self._y4m_stream()
+                return
+            if url.path == "/reload":
+                self._reload(parse_qs(url.query).get("path", [""])[0])
                 return
             if url.path != "/upscale":
                 self._json(404, {"error": "not found"})
@@ -320,6 +333,32 @@ def serve(trainer, state, cfg, host: str = "127.0.0.1", port: int = 8600,
             self.send_header("Content-Length", str(len(out)))
             self.end_headers()
             self.wfile.write(out)
+
+        def _reload(self, path: str):
+            """Zero-downtime artifact swap: ``POST /reload?path=new.srx``
+            (default: re-read the current file) loads + validates the new
+            SRX1 artifact, then atomically swaps the batcher's device fn —
+            the worker thread reads it once per batch, so in-flight
+            requests finish on the old program and the next batch runs the
+            new one.  Geometry may change; old-geometry requests then get
+            per-request 500s, the server keeps serving."""
+            if not art_state:
+                self._json(400, {"error": "reload needs --from-export mode"})
+                return
+            target = path or art_state["path"]
+            try:
+                from ml_super_resolution_tpu.aot import load_artifact
+
+                hdr2, afn2 = load_artifact(target)
+                mb = _artifact_max_batch(hdr2, target, user_max_batch)
+            except Exception as e:
+                self._json(400, {"error": f"reload failed: {e}"})
+                return
+            b = batchers[""]
+            b._fn = afn2
+            b.max_batch = mb
+            art_state.update(path=str(target), header=hdr2)
+            self._json(200, {"reloaded": str(target), **hdr2})
 
         def _y4m_stream(self):
             """POST a Y4M container, stream back the upscaled Y4M: frames

@@ -186,3 +186,64 @@ def test_export_symbolic_batch(espcn_run, tmp_path, capsys):
         "http://127.0.0.1:8626/upscale", data=buf.getvalue(), method="POST")
     with urllib.request.urlopen(req, timeout=120) as r:
         assert np.asarray(Image.open(io.BytesIO(r.read()))).shape == (48, 64, 3)
+
+
+def test_serve_reload_artifact(espcn_run, tmp_path, capsys):
+    """POST /reload: zero-downtime artifact swap — new geometry serves,
+    bad reloads are rejected and the old program keeps serving."""
+    from ml_super_resolution_tpu.serve import serve
+
+    art_a = tmp_path / "a.srx"
+    art_b = tmp_path / "b.srx"
+    main(["export", "--workdir", str(espcn_run), "--output", str(art_a),
+          "--size", "24x32", "--batches", "1,2"])
+    main(["export", "--workdir", str(espcn_run), "--output", str(art_b),
+          "--size", "16x16", "--batches", "any"])
+    capsys.readouterr()
+
+    ready = threading.Event()
+    th = threading.Thread(
+        target=serve, args=(None, None, None),
+        kwargs=dict(port=8629, ready_event=ready, artifact=str(art_a)),
+        daemon=True)
+    th.start()
+    assert ready.wait(timeout=60)
+
+    def post_png(shape):
+        img = (np.random.default_rng(0).random(shape) * 255).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, format="PNG")
+        req = urllib.request.Request(
+            "http://127.0.0.1:8629/upscale", data=buf.getvalue(),
+            method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return np.asarray(Image.open(io.BytesIO(r.read())))
+
+    assert post_png((24, 32, 3)).shape == (48, 64, 3)
+
+    # bad reload: 400, old artifact keeps serving
+    bad = urllib.request.Request(
+        "http://127.0.0.1:8629/reload?path=/nope.srx", data=b"",
+        method="POST")
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(bad, timeout=60)
+    assert ei.value.code == 400
+    assert post_png((24, 32, 3)).shape == (48, 64, 3)
+
+    # good reload: new geometry serves, healthz reflects the swap
+    from urllib.parse import quote
+
+    req = urllib.request.Request(
+        f"http://127.0.0.1:8629/reload?path={quote(str(art_b))}", data=b"",
+        method="POST")
+    with urllib.request.urlopen(req, timeout=120) as r:
+        out = json.loads(r.read())
+    assert out["reloaded"].endswith("b.srx") and out["batches"] == "any"
+    assert post_png((16, 16, 3)).shape == (32, 32, 3)
+    with urllib.request.urlopen("http://127.0.0.1:8629/healthz",
+                                timeout=30) as r:
+        assert json.loads(r.read())["artifact"].endswith("b.srx")
+    # the old geometry now 500s per request; server stays healthy
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        post_png((24, 32, 3))
+    assert ei.value.code == 500
