@@ -47,6 +47,10 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
                    help="staircase LR decay interval in steps (0 = constant LR)")
     p.add_argument("--lr-decay-rate", type=float, default=0.1)
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--qat", action="store_true",
+                   help="quantization-aware fine-tuning: the training "
+                        "forward sees int8 rounding (STE gradients), so "
+                        "PTQ of the resulting checkpoint is near-lossless")
     p.add_argument("--pallas-preprocess", action="store_true",
                    help="K3: fused Pallas luma+degrade stage in the train "
                         "step (Y-channel single-scale models)")
@@ -166,6 +170,7 @@ def _config_from_args(args) -> "ExperimentConfig":
             loss=d.get("loss", "mse"),
             bf16=args.bf16,
             pallas_preprocess=getattr(args, "pallas_preprocess", False),
+            qat=getattr(args, "qat", False),
             steps_per_call=getattr(args, "steps_per_call", 1),
             dp=args.dp,
             ema_decay=args.ema,

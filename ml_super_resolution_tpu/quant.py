@@ -54,6 +54,8 @@ __all__ = [
     "SUPPORTED",
     "quantize_weight",
     "int8_apply_fn",
+    "qat_params",
+    "qat_intercept",
 ]
 
 SUPPORTED = ("srcnn", "espcn", "vdsr", "edsr", "srresnet", "srgan")
@@ -97,6 +99,65 @@ def _int8_conv_raw(xq: jnp.ndarray, wq: jnp.ndarray, impl: str) -> jnp.ndarray:
     return jax.lax.dot_general(
         pat, wmat, (((pat.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
+
+
+# ------------------------------------------------- QAT (training-side) --
+#
+# Quantization-aware fine-tuning: the training forward sees exactly the
+# int8 rounding the PTQ inference path will apply — conv kernels
+# quantize-dequantize per output channel, conv inputs per tensor — with the
+# straight-through estimator (identity gradient through the rounding), so
+# the optimizer learns weights that sit well on the int8 grid.  ``sr train
+# --qat`` wires this into the trainer loss; eval/checkpoints stay f32 and
+# the PTQ path (above) quantizes the fine-tuned weights as usual.
+
+
+def _fake_quant(x, s):
+    q = jnp.clip(jnp.round(x / s), -127, 127) * s
+    return x + jax.lax.stop_gradient(q - x)  # STE
+
+
+def fake_quant_weight(w: jnp.ndarray) -> jnp.ndarray:
+    """Per-output-channel symmetric int8 quantize-dequantize (HWIO)."""
+    amax = jax.lax.stop_gradient(
+        jnp.max(jnp.abs(w), axis=(0, 1, 2), keepdims=True))
+    s = jnp.where(amax > 0, amax / 127.0, 1.0)
+    return _fake_quant(w, s)
+
+
+def fake_quant_act(x: jnp.ndarray) -> jnp.ndarray:
+    """Per-tensor symmetric int8 quantize-dequantize (dynamic max-abs —
+    the train-time stand-in for PTQ's calibrated static scale)."""
+    amax = jax.lax.stop_gradient(jnp.max(jnp.abs(x)))
+    s = jnp.where(amax > 0, amax / 127.0, 1.0)
+    return _fake_quant(x, s)
+
+
+def qat_params(params):
+    """Fake-quantize every 4D conv kernel leaf of a flax param tree (STE:
+    gradients flow to the original f32 params)."""
+
+    def fq(path, leaf):
+        last = getattr(path[-1], "key", None) if path else None
+        if getattr(leaf, "ndim", 0) == 4 and last == "kernel":
+            return fake_quant_weight(leaf)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(fq, params)
+
+
+def qat_intercept():
+    """Context manager fake-quantizing every ``nn.Conv`` input during the
+    wrapped ``model.apply`` (flax method interception)."""
+    from flax import linen as nn
+
+    def interceptor(next_fun, args, kwargs, context):
+        if (isinstance(context.module, nn.Conv)
+                and context.method_name == "__call__"):
+            args = (fake_quant_act(args[0]),) + tuple(args[1:])
+        return next_fun(*args, **kwargs)
+
+    return nn.intercept_methods(interceptor)
 
 
 # --------------------------------------------------------------- engines --

@@ -200,16 +200,29 @@ class Trainer:
 
     # -------------------------------------------------------------- step --
     def _loss_fn(self, params, batch_stats, lr_batch, hr_batch, train: bool):
-        variables = {"params": params}
-        if batch_stats:
-            variables["batch_stats"] = batch_stats
-            out, mutated = self.model.apply(
-                variables, lr_batch, train=train, mutable=["batch_stats"]
-            )
-            new_stats = mutated["batch_stats"]
+        import contextlib
+
+        if self.cfg.train.qat and train:
+            # QAT (quant.py): the training forward sees the int8 rounding
+            # the PTQ inference path will apply; STE gradients reach the
+            # f32 params.  Eval and checkpoints stay float.
+            from ml_super_resolution_tpu.quant import qat_intercept, qat_params
+
+            params = qat_params(params)
+            ctx = qat_intercept()
         else:
-            out = self.model.apply(variables, lr_batch, train=train)
-            new_stats = batch_stats
+            ctx = contextlib.nullcontext()
+        variables = {"params": params}
+        with ctx:
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
+                out, mutated = self.model.apply(
+                    variables, lr_batch, train=train, mutable=["batch_stats"]
+                )
+                new_stats = mutated["batch_stats"]
+            else:
+                out = self.model.apply(variables, lr_batch, train=train)
+                new_stats = batch_stats
         if self.cfg.train.loss == "l1":
             loss = jnp.mean(jnp.abs(out - hr_batch))
         else:

@@ -82,6 +82,7 @@ class TrainConfig:
     # Pallas kernel (kernels/preprocess.py) instead of the XLA-fused ops
     # path.  Y-channel single-scale models only; measured delta in RESULTS.md.
     pallas_preprocess: bool = False
+    qat: bool = False
     # Multi-step dispatch: lax.scan over K stacked batches per jitted call.
     # Amortizes host->device round trips K-fold (decisive on high-latency
     # attach paths; also cuts dispatch overhead on healthy hosts).  Batch

@@ -116,3 +116,60 @@ def test_percentile_calibration_changes_scales():
     y_ref = model.apply(variables, x, train=False)
     yq = int8_apply_fn(model, variables, name, scale, x, percentile=99.9)(x)
     assert int8_output_fidelity_db(y_ref, yq) >= 40.0
+
+
+def test_qat_params_quantizes_only_conv_kernels():
+    from ml_super_resolution_tpu.quant import qat_params
+
+    name, model, shape, scale = CASES[3]  # edsr (has biases + kernels)
+    x, variables = _setup(model, shape)
+    q = qat_params(variables["params"])
+    leaves = jax.tree_util.tree_leaves_with_path(variables["params"])
+    qleaves = dict(jax.tree_util.tree_leaves_with_path(q))
+    changed = unchanged = 0
+    for path, leaf in leaves:
+        ql = qleaves[path]
+        if getattr(path[-1], "key", None) == "kernel" and leaf.ndim == 4:
+            amax = np.abs(np.asarray(leaf)).max(axis=(0, 1, 2))
+            err = np.abs(np.asarray(ql) - np.asarray(leaf))
+            assert (err <= amax / 254 + 1e-7).all()  # <= s/2 per channel
+            changed += 1
+        else:
+            np.testing.assert_array_equal(np.asarray(ql), np.asarray(leaf))
+            unchanged += 1
+    assert changed > 0 and unchanged > 0
+
+
+def test_qat_forward_has_gradients():
+    """STE: the fake-quantized forward must carry nonzero, finite grads."""
+    from ml_super_resolution_tpu.quant import qat_intercept, qat_params
+
+    name, model, shape, scale = CASES[1]  # espcn
+    x, variables = _setup(model, shape)
+
+    def loss(p):
+        with qat_intercept():
+            out = model.apply({"params": qat_params(p)}, x, train=True)
+        return jnp.mean(out ** 2)
+
+    g = jax.grad(loss)(variables["params"])
+    norms = [float(jnp.linalg.norm(l)) for l in jax.tree.leaves(g)]
+    assert all(np.isfinite(n) for n in norms)
+    assert sum(norms) > 0
+
+
+def test_qat_cli_training_smoke(tmp_path, capsys):
+    from ml_super_resolution_tpu.cli import main
+
+    wd = tmp_path / "run"
+    rc = main([
+        "train", "--model", "espcn", "--scale", "2", "--qat",
+        "--workdir", str(wd), "--steps", "4", "--batch-size", "4",
+        "--patch-size", "32", "--dp", "1",
+        "--ckpt-every", "4", "--eval-every", "4", "--log-every", "2",
+    ])
+    assert rc == 0
+    import json
+
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 3 < out["final_eval"]["psnr"] < 60
