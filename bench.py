@@ -105,9 +105,30 @@ def main():
     # Batch 32 = ~1 s of 30 fps video per dispatch: measured +25% over the
     # round-2 b8 config (4,727 -> 5,893 MP/s; runs/espcn_batch_probe.log),
     # still ~11 ms latency per 32-frame batch.  b8 stays as a secondary row.
-    mps, dt = bench_model_mps("espcn", 4, (1080, 1920), batch=32, channels=1,
-                              overrides={"dtype": jnp.bfloat16})
     anchor = 1920 * 1080 * 30 / 1e6  # ESPCN paper: 30 fps 1080p on K2
+    try:
+        # The attach relay can wedge for hours (measured 2026-08-17): a
+        # wedged claim hangs the FIRST device op forever.  Bound the
+        # headline measurement so the bench always emits a parseable
+        # record — an honest zero with an error note beats a silent hang.
+        with _bounded(900, "headline (relay claim + measure)",
+                      swallow=False):
+            mps, dt = bench_model_mps("espcn", 4, (1080, 1920), batch=32,
+                                      channels=1,
+                                      overrides={"dtype": jnp.bfloat16})
+    except TimeoutError as e:
+        result = {
+            "metric": "upscaled megapixels/sec/chip at x4 "
+                      "(ESPCN, 1080p video SR)",
+            "value": 0.0,
+            "unit": "MP/s",
+            "vs_baseline": 0.0,
+            "error": f"device unreachable: {e}",
+        }
+        print(f"# HEADLINE FAILED: {e} — the attach relay is wedged; "
+              f"emitting an explicit zero record", file=sys.stderr)
+        print(json.dumps(result), flush=True)
+        return
     print(
         f"# espcn-bf16 x4 -> 1080p: {mps:.1f} MP/s ({dt*1e3:.2f} ms / 32-frame batch)",
         file=sys.stderr,
@@ -194,10 +215,11 @@ class _bounded:
     """SIGALRM time-box for optional rows: a pathologically slow Mosaic
     compile (observed >25 min for deep fused kernels on this relay) must
     not eat the bench budget.  Main-thread only; the row's own try/except
-    reports the interruption."""
+    reports the interruption.  ``swallow=False`` re-raises the TimeoutError
+    to the caller (used by the headline's wedge guard)."""
 
-    def __init__(self, seconds: int, label: str):
-        self.seconds, self.label = seconds, label
+    def __init__(self, seconds: int, label: str, swallow: bool = True):
+        self.seconds, self.label, self.swallow = seconds, label, swallow
 
     def __enter__(self):
         import signal
@@ -216,7 +238,7 @@ class _bounded:
         if exc and exc[0] is TimeoutError:
             print(f"# {self.label}: timed out ({self.seconds}s budget)",
                   file=sys.stderr)
-            return True
+            return self.swallow
         return False
 
 
