@@ -194,6 +194,10 @@ def cmd_train(args) -> int:
 
     # Must run before any jax device/mesh use (no-op when --coordinator unset).
     maybe_initialize(args.coordinator, args.num_processes, args.process_id)
+    if getattr(args, "qat", False) and args.model == "srgan":
+        print("--qat is not wired into the adversarial (srgan) trainer; "
+              "QAT-fine-tune the srresnet generator instead", file=sys.stderr)
+        return 2
     if "auto" in (args.data, args.eval_data):
         from ml_super_resolution_tpu.data.discover import resolve_data_arg
 
