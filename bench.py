@@ -96,49 +96,111 @@ def bench_model_mps(name: str, scale: int, out_hw, batch: int, channels: int,
     return mp / dt, dt
 
 
-def main():
-    # ESPCN x4 -> 1080p output, batch of video frames (headline).  bf16
-    # trunk: the fastest measured configuration, at verified quality parity
-    # (RESULTS.md "bf16 trunk training/inference parity").
+_HEADLINE_METRIC = "upscaled megapixels/sec/chip at x4 (ESPCN, 1080p video SR)"
+_RETRY_QUIET_S = 300  # wedge-recovery spacing (CLAUDE.md: patient gates)
+_CLAIM_GAP_S = 45     # teardown gap before the next process attaches
+
+
+def _measure_headline():
+    """In-process headline measurement; returns the result record.
+
+    Batch 32 = ~1 s of 30 fps video per dispatch: measured +25% over the
+    round-2 b8 config (4,727 -> 5,893 MP/s; runs/espcn_batch_probe.log),
+    still ~11 ms latency per 32-frame batch.  b8 stays as a secondary row.
+    bf16 trunk: the fastest measured configuration, at verified quality
+    parity (RESULTS.md "bf16 trunk training/inference parity").
+    """
+    import os
+
     import jax.numpy as jnp
 
-    # Batch 32 = ~1 s of 30 fps video per dispatch: measured +25% over the
-    # round-2 b8 config (4,727 -> 5,893 MP/s; runs/espcn_batch_probe.log),
-    # still ~11 ms latency per 32-frame batch.  b8 stays as a secondary row.
     anchor = 1920 * 1080 * 30 / 1e6  # ESPCN paper: 30 fps 1080p on K2
-    try:
-        # The attach relay can wedge for hours (measured 2026-08-17): a
-        # wedged claim hangs the FIRST device op forever.  Bound the
-        # headline measurement so the bench always emits a parseable
-        # record — an honest zero with an error note beats a silent hang.
-        with _bounded(900, "headline (relay claim + measure)",
-                      swallow=False):
-            mps, dt = bench_model_mps("espcn", 4, (1080, 1920), batch=32,
-                                      channels=1,
-                                      overrides={"dtype": jnp.bfloat16})
-    except TimeoutError as e:
-        result = {
-            "metric": "upscaled megapixels/sec/chip at x4 "
-                      "(ESPCN, 1080p video SR)",
-            "value": 0.0,
-            "unit": "MP/s",
-            "vs_baseline": 0.0,
-            "error": f"device unreachable: {e}",
-        }
-        print(f"# HEADLINE FAILED: {e} — the attach relay is wedged; "
-              f"emitting an explicit zero record", file=sys.stderr)
-        print(json.dumps(result), flush=True)
-        return
+    # Debug knob for chipless hosts: SR_BENCH_GEOM="HxW:B" shrinks the
+    # measured geometry so the full parent->child->parse path can be driven
+    # on CPU in seconds.  The recorded number is only meaningful at the
+    # default geometry on the real chip; vs_baseline still uses the 1080p
+    # anchor, so a shrunken run is self-evidently not a headline number.
+    geom = os.environ.get("SR_BENCH_GEOM", "1080x1920:32")
+    hw, _, b = geom.partition(":")
+    h, _, w = hw.partition("x")
+    oh, ow, batch = int(h), int(w), int(b or 32)
+    mps, dt = bench_model_mps("espcn", 4, (oh, ow), batch=batch,
+                              channels=1, overrides={"dtype": jnp.bfloat16})
     print(
-        f"# espcn-bf16 x4 -> 1080p: {mps:.1f} MP/s ({dt*1e3:.2f} ms / 32-frame batch)",
+        f"# espcn-bf16 x4 -> {oh}p: {mps:.1f} MP/s ({dt*1e3:.2f} ms / {batch}-frame batch)",
         file=sys.stderr,
     )
-    result = {
-        "metric": "upscaled megapixels/sec/chip at x4 (ESPCN, 1080p video SR)",
+    return {
+        "metric": _HEADLINE_METRIC,
         "value": round(mps, 1),
         "unit": "MP/s",
         "vs_baseline": round(mps / anchor, 2),
     }
+
+
+def _headline_attempt(budget_s: int):
+    """Run the headline measurement in a BOUNDED SUBPROCESS.
+
+    Why a subprocess: a wedged attach relay hangs the first device op
+    forever (measured 2026-08-17: >9 h).  An in-process SIGALRM can unwind
+    the Python frame, but the process keeps a half-attached device client —
+    any later device use (secondary rows, a retry) just hangs again.  A
+    killed child leaves THIS process clean, so one honest retry after a
+    quiet period is possible.  Returns the parsed result dict or None.
+    """
+    import os
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--headline-only"],
+            stdout=subprocess.PIPE, timeout=budget_s,
+        )
+    except subprocess.TimeoutExpired:
+        print(f"# headline attempt timed out after {budget_s}s "
+              f"(relay wedge signature)", file=sys.stderr)
+        return None
+    if proc.returncode != 0:
+        print(f"# headline attempt exited rc={proc.returncode}",
+              file=sys.stderr)
+        return None
+    for line in reversed(proc.stdout.decode(errors="replace").splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                return None
+            return rec if rec.get("unit") == "MP/s" else None
+    return None
+
+
+def main():
+    # ESPCN x4 -> 1080p output, batch of video frames (headline), measured
+    # in a bounded subprocess with ONE quiet-period retry: an honest zero
+    # record is the last resort, not the first response to a wedged claim.
+    result = _headline_attempt(900)
+    if result is None:
+        print(f"# headline attempt 1 failed; sleeping {_RETRY_QUIET_S}s "
+              f"(patient wedge-recovery gate), then one retry",
+              file=sys.stderr)
+        time.sleep(_RETRY_QUIET_S)
+        result = _headline_attempt(600)
+    if result is None:
+        result = {
+            "metric": _HEADLINE_METRIC,
+            "value": 0.0,
+            "unit": "MP/s",
+            "vs_baseline": 0.0,
+            "error": "device unreachable: headline timed out twice "
+                     "(attach relay wedged)",
+        }
+        print("# HEADLINE FAILED twice — the attach relay is wedged; "
+              "emitting an explicit zero record and skipping secondary "
+              "rows (they would each hang on the same claim)",
+              file=sys.stderr)
+        print(json.dumps(result), flush=True)
+        return
     # Emit the headline IMMEDIATELY: secondary rows involve Pallas kernels
     # whose Mosaic compiles can be pathologically slow on this relay — the
     # one required JSON line must never be hostage to them.  It is emitted
@@ -146,7 +208,16 @@ def main():
     # parses from the tail of the output (round-2 lesson: BENCH_r02.json
     # recorded `parsed: null` when the only JSON line was early).
     print(json.dumps(result), flush=True)
+    # The child held the device claim; give its teardown the measured gap
+    # before this process attaches for the secondary rows (claiming while a
+    # teardown is in flight futex-waits forever — CLAUDE.md hazard 2).
+    time.sleep(_CLAIM_GAP_S)
+    _secondary_rows()
+    # Final stdout line = the headline JSON (the driver parses the tail).
+    print(json.dumps(result), flush=True)
 
+
+def _secondary_rows():
     # secondary rows (never let one kill the headline).  bf16 rows exist so
     # every fused kernel is compared against the *best* XLA configuration.
     secondaries = [
@@ -207,8 +278,6 @@ def main():
         bench_int8()
     bench_host_ingest()
     bench_virtual_mesh_scaling()
-    # Final stdout line = the headline JSON (the driver parses the tail).
-    print(json.dumps(result), flush=True)
 
 
 class _bounded:
@@ -617,4 +686,10 @@ print(json.dumps(rows))
 
 
 if __name__ == "__main__":
-    main()
+    if "--headline-only" in sys.argv[1:]:
+        # Child mode for _headline_attempt: measure, print the one JSON
+        # line, exit.  The parent bounds this process's lifetime, so no
+        # SIGALRM guard is needed here — a wedged claim just gets killed.
+        print(json.dumps(_measure_headline()), flush=True)
+    else:
+        main()
