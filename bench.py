@@ -176,6 +176,17 @@ def _headline_attempt(budget_s: int):
 
 
 def main():
+    # Provisional zero record FIRST: if an outer supervisor kills this
+    # process mid-measurement (wedged relay + an external timeout), the
+    # stdout tail still parses.  Every later emission supersedes it.
+    print(json.dumps({
+        "metric": _HEADLINE_METRIC,
+        "value": 0.0,
+        "unit": "MP/s",
+        "vs_baseline": 0.0,
+        "error": "provisional record — bench was killed before the "
+                 "measurement (or its retry) completed",
+    }), flush=True)
     # ESPCN x4 -> 1080p output, batch of video frames (headline), measured
     # in a bounded subprocess with ONE quiet-period retry: an honest zero
     # record is the last resort, not the first response to a wedged claim.

@@ -38,6 +38,14 @@ def _run_main(monkeypatch, attempts):
 GOOD = {"metric": "m", "value": 5000.0, "unit": "MP/s", "vs_baseline": 80.0}
 
 
+def test_provisional_record_is_first_line(monkeypatch):
+    """Line 1 is a parseable zero record: an external kill at ANY later
+    point still leaves valid JSON at the stdout tail."""
+    recs, _ = _run_main(monkeypatch, [GOOD])
+    assert recs[0]["value"] == 0.0 and "provisional" in recs[0]["error"]
+    assert recs[0]["unit"] == "MP/s"
+
+
 def test_headline_double_timeout_emits_zero_record(monkeypatch):
     recs, budgets = _run_main(monkeypatch, [None, None])
     assert len(budgets) == 2  # exactly one retry
@@ -49,15 +57,14 @@ def test_headline_double_timeout_emits_zero_record(monkeypatch):
 def test_headline_retry_recovers(monkeypatch):
     recs, budgets = _run_main(monkeypatch, [None, GOOD])
     assert len(budgets) == 2
-    # headline emitted first AND last, no zero record anywhere
-    assert recs[0] == GOOD and recs[-1] == GOOD
-    assert all("error" not in r for r in recs)
+    # measured headline supersedes the provisional record and is the tail
+    assert recs[1] == GOOD and recs[-1] == GOOD
 
 
 def test_headline_first_try_no_retry(monkeypatch):
     recs, budgets = _run_main(monkeypatch, [GOOD])
     assert budgets == [900]
-    assert recs[0] == GOOD and recs[-1] == GOOD
+    assert recs[1] == GOOD and recs[-1] == GOOD
 
 
 def test_headline_attempt_parses_child_tail(monkeypatch):
