@@ -77,6 +77,12 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
                    help="srgan: one-sided real-label smoothing (e.g. 0.1)")
     p.add_argument("--r1-gamma", type=float, default=0.0,
                    help="srgan: R1 gradient-penalty weight on reals")
+    p.add_argument("--d-patch", type=int, default=0,
+                   help="srgan: patch-wise D — crop every D input to a "
+                        "random NxN sub-patch (harder D task; 0 = off)")
+    p.add_argument("--d-augment", action="store_true",
+                   help="srgan: differentiable per-sample flips/rot90 on "
+                        "all D inputs (DiffAugment-style)")
     p.add_argument("--g-init", default="",
                    help="srgan: init generator from this srresnet run dir "
                         "(skips the MSE pretrain phase)")
@@ -179,6 +185,8 @@ def _config_from_args(args) -> "ExperimentConfig":
             d_lr_scale=getattr(args, "d_lr_scale", 1.0),
             label_smooth=getattr(args, "label_smooth", 0.0),
             r1_gamma=getattr(args, "r1_gamma", 0.0),
+            d_patch=getattr(args, "d_patch", 0),
+            d_augment=getattr(args, "d_augment", False),
             previews=getattr(args, "previews", False),
             eval_every=args.eval_every,
             ckpt_every=args.ckpt_every,

@@ -195,7 +195,12 @@ class GANTrainer:
         patch = c.data.patch_size
         lr_patch = patch // c.model.scale
         g_dummy = jnp.zeros((1, lr_patch, lr_patch, c.model.channels), jnp.float32)
-        d_dummy = jnp.zeros((1, patch, patch, c.model.channels), jnp.float32)
+        # Patch-wise D (TrainConfig.d_patch): D's dense head is shaped by its
+        # init input, so initialize at the VIEWED size; the perceptual
+        # backbone still sees full patches (f_dummy).
+        d_size = min(c.train.d_patch, patch) if c.train.d_patch else patch
+        d_dummy = jnp.zeros((1, d_size, d_size, c.model.channels), jnp.float32)
+        f_dummy = jnp.zeros((1, patch, patch, c.model.channels), jnp.float32)
         kg, kd, kv = jax.random.split(jax.random.key(seed), 3)
         g_vars = self.generator.init(kg, g_dummy, train=False)
         d_vars = self.discriminator.init(kd, d_dummy, train=False)
@@ -205,7 +210,7 @@ class GANTrainer:
             )
             self.logger.log("percep", 0, backbone="featurenet (self-trained)")
         else:
-            vgg_vars = self.vgg.init(kv, d_dummy)
+            vgg_vars = self.vgg.init(kv, f_dummy)
             self.vgg_params, self.vgg_pretrained = load_vgg19_params(
                 self._vgg_weights_path, vgg_vars["params"]
             )
@@ -266,6 +271,35 @@ class GANTrainer:
             return out, mut["batch_stats"]
         return self.discriminator.apply(variables, x, train=train), stats
 
+    def _d_view(self, key: jax.Array, x: jnp.ndarray) -> jnp.ndarray:
+        """Random differentiable view of a D input batch (TrainConfig
+        d_patch / d_augment): per-sample crop to ``d_patch``² plus
+        per-sample flips/rot90.  Applied to reals and fakes alike; every
+        op is differentiable so the adversarial gradient still reaches G
+        through the view."""
+        c = self.cfg.train
+        n = x.shape[0]
+        if c.d_patch and c.d_patch < min(x.shape[1], x.shape[2]):
+            kc1, kc2, key = jax.random.split(key, 3)
+            ys = jax.random.randint(kc1, (n,), 0, x.shape[1] - c.d_patch + 1)
+            xs = jax.random.randint(kc2, (n,), 0, x.shape[2] - c.d_patch + 1)
+            x = jax.vmap(
+                lambda img, yy, xx: jax.lax.dynamic_slice(
+                    img, (yy, xx, 0), (c.d_patch, c.d_patch, img.shape[-1])
+                )
+            )(x, ys, xs)
+        if c.d_augment:
+            kf1, kf2, kr = jax.random.split(key, 3)
+            fl = jax.random.bernoulli(kf1, shape=(n,))[:, None, None, None]
+            fv = jax.random.bernoulli(kf2, shape=(n,))[:, None, None, None]
+            x = jnp.where(fl, x[:, :, ::-1], x)
+            x = jnp.where(fv, x[:, ::-1], x)
+            if x.shape[1] == x.shape[2]:  # rot90 needs square inputs
+                kq = jax.random.fold_in(kr, 1)
+                rot = jax.random.bernoulli(kq, shape=(n,))[:, None, None, None]
+                x = jnp.where(rot, jnp.rot90(x, axes=(1, 2)), x)
+        return x
+
     def _step_impl(self, state: GANState, tiles: jnp.ndarray):
         c = self.cfg
         key = jax.random.fold_in(state.rng, state.step)
@@ -274,17 +308,25 @@ class GANTrainer:
             patch_size=c.data.patch_size, scale=c.model.scale,
             y_only=False, lr_space=True, augment=c.data.augment,
         )
+        # D-view keys live on their own stream (fold_in 0x0D) so enabling
+        # d_patch/d_augment never perturbs the pair-synthesis RNG above —
+        # ablations stay data-identical.
+        kd_real, kd_fake, kd_gen = jax.random.split(
+            jax.random.fold_in(key, 0x0D), 3
+        )
 
         # ---- discriminator update (G frozen) -----------------------------
         fake, _ = self._g_apply(state.g_params, state.g_stats, lr_b, train=False)
         fake = jax.lax.stop_gradient(fake)
+        hr_v = self._d_view(kd_real, hr_b)
+        fake_v = self._d_view(kd_fake, fake)
 
         def d_loss_fn(d_params, d_stats):
             # Two separate passes (real, then fake) threading batch_stats:
             # normalizing the halves together would let D discriminate via
             # batch statistics and skew the running stats (SRGAN recipe).
-            real_logits, mid_stats = self._d_apply(d_params, d_stats, hr_b, train=True)
-            fake_logits, new_stats = self._d_apply(d_params, mid_stats, fake, train=True)
+            real_logits, mid_stats = self._d_apply(d_params, d_stats, hr_v, train=True)
+            fake_logits, new_stats = self._d_apply(d_params, mid_stats, fake_v, train=True)
             # one-sided label smoothing: real target 1-eps keeps D's logits
             # bounded so its gradient signal to G never vanishes
             loss = (
@@ -298,7 +340,7 @@ class GANTrainer:
                     lg, _ = self._d_apply(d_params, d_stats, x, train=False)
                     return jnp.sum(lg.astype(jnp.float32))
 
-                gr = jax.grad(_sum_real)(hr_b).astype(jnp.float32)
+                gr = jax.grad(_sum_real)(hr_v).astype(jnp.float32)
                 r1 = jnp.mean(
                     jnp.sum(jnp.square(gr.reshape(gr.shape[0], -1)), axis=1)
                 )
@@ -319,7 +361,9 @@ class GANTrainer:
             pixel = jnp.mean(jnp.square(sr - hr_b))
             feat_sr = self._features(sr)
             percep = self._percep_scale * jnp.mean(jnp.square(feat_sr - feat_hr))
-            logits, _ = self._d_apply(d_params, d_stats, sr, train=False)
+            logits, _ = self._d_apply(
+                d_params, d_stats, self._d_view(kd_gen, sr), train=False
+            )
             adv = _bce_logits(logits, 1.0)
             loss = (
                 pixel
@@ -463,7 +507,8 @@ class GANTrainer:
         schedule = [kk] * (todo // kk) + [1] * (todo % kk)
 
         def crossed(new_step, old_step, every):
-            return new_step // every > old_step // every
+            # every <= 0 disables the periodic action entirely
+            return every > 0 and new_step // every > old_step // every
 
         images = None
         if c.data.device_dataset:

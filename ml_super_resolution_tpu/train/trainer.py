@@ -477,7 +477,8 @@ class Trainer:
                 yield cur
 
         def crossed(new_step, old_step, every):
-            return new_step // every > old_step // every
+            # every <= 0 disables the periodic action entirely
+            return every > 0 and new_step // every > old_step // every
 
         if c.data.device_dataset:
             # Device-resident corpus: no host batches at all.  The loader is

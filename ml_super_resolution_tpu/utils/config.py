@@ -110,6 +110,15 @@ class TrainConfig:
     d_lr_scale: float = 1.0
     label_smooth: float = 0.0
     r1_gamma: float = 0.0
+    # D-task hardening (round 4): capacity/LR rebalancing alone left D's
+    # accuracy pinned at 1.0/1.0 — a D that is never wrong is a weak
+    # adversary, so make the TASK harder instead.  d_patch > 0 shows D only
+    # a random d_patch^2 sub-patch of each input (patch-wise D: no global
+    # layout cues, decisions from local texture); d_augment applies
+    # differentiable per-sample flips/rot90 to every D input (reals and
+    # fakes alike, DiffAugment-style — gradients still flow to G).
+    d_patch: int = 0
+    d_augment: bool = False
     # Image summaries at each eval (the reference's tf.summary image leg,
     # SURVEY §5.5): bicubic/SR/HR PNG triplet of the first eval image under
     # <workdir>/previews (+ TB mirror when enabled).  Off by default: each

@@ -263,3 +263,53 @@ def test_gan_d_balance_knobs(cfg):
     step0 = np.abs(np.asarray(jax.tree.leaves(s0.d_params)[0]) - d_init).max()
     step1 = np.abs(np.asarray(jax.tree.leaves(s1.d_params)[0]) - d_init).max()
     assert step1 < step0
+
+
+def test_gan_patchwise_d_and_augment(cfg):
+    """D-task hardening (VERDICT r3 weak #5): patch-wise D crops every D
+    input to d_patch^2 (D's dense head is built at that size) and
+    d_augment's flips/rot90 are differentiable — the adversarial gradient
+    must still reach G through the view."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    c = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, d_patch=16, d_augment=True)
+    )
+    tr = GANTrainer(c)
+    state = tr.init_state(0)
+    # D initialized at the viewed size: first dense kernel differs from the
+    # full-patch build
+    full = GANTrainer(cfg).init_state(0)
+    d_shapes = [p.shape for p in jax.tree.leaves(state.d_params)]
+    f_shapes = [p.shape for p in jax.tree.leaves(full.d_params)]
+    assert d_shapes != f_shapes
+
+    # the view: correct shape, differentiable, non-degenerate
+    x = jnp.asarray(np.random.default_rng(0).random((4, 32, 32, 3)),
+                    jnp.float32)
+    key = jax.random.key(7)
+    v = tr._d_view(key, x)
+    assert v.shape == (4, 16, 16, 3)
+    g = jax.grad(lambda z: jnp.sum(tr._d_view(key, z) ** 2))(x)
+    assert float(jnp.abs(g).max()) > 0.0
+
+    # a full adversarial step runs with finite metrics
+    state, m = tr.train_step(state, _tiles())
+    jax.block_until_ready(m)
+    for k in ("d_loss", "g_loss", "adversarial", "d_real_acc", "d_fake_acc"):
+        assert np.isfinite(float(m[k])), k
+
+
+def test_gan_d_view_off_is_identity(cfg):
+    """With d_patch=0 and d_augment off, _d_view is the identity — the
+    round-3 training recipe is bit-unchanged by the round-4 knobs."""
+    import jax.numpy as jnp
+
+    tr = GANTrainer(cfg)
+    x = jnp.asarray(np.random.default_rng(1).random((2, 32, 32, 3)),
+                    jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(tr._d_view(jax.random.key(0), x)), np.asarray(x)
+    )
