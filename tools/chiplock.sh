@@ -38,6 +38,12 @@ with_chip_wd() {
   shift 2
   (
     flock -w 10800 9 || { echo "with_chip_wd: lock timeout" >&2; exit 97; }
+    # Silence is measured from NOW, not from the file's historical mtime:
+    # a resumed run's stale metrics file (hours old) would otherwise trip
+    # the watchdog ~20s after launch, before the trainer's first write
+    # (observed 2026-08-19 19:05 — every r3_edsr_full chunk SIGTERMed at
+    # birth because metrics.jsonl was 9.4h old).
+    mkdir -p "$(dirname "$wf")" && touch "$wf"
     "$@" &
     pid=$!
     (
