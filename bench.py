@@ -352,6 +352,8 @@ def _secondary_rows(deadline: float):
         # -- the round's best results first (cheap XLA compiles) ----------
         ("srresnet-folded", 240, lambda: bench_srresnet_folded(batches=(1,))),
         ("edsr-folded", 240, lambda: bench_edsr_folded(batches=(1,))),
+        ("lane-packed rows", 300, bench_lane_packed),
+        ("edsr-full-folded", 240, bench_edsr_full_folded),
         ("vdsr-fused", 300, bench_vdsr_fused),  # Mosaic, but ~7 s compile
         # -- int8 PTQ rows (MXU int8 path) ---------------------------------
         ("int8 rows", 420, bench_int8),
@@ -603,6 +605,106 @@ def bench_edsr_folded(batches=(1, 4)):
         raise
     except Exception as e:
         print(f"# edsr-folded bench failed: {e}", file=sys.stderr)
+
+
+def bench_lane_packed():
+    """Batch-to-lanes packed inference rows (kernels/apply.py
+    pack_blockdiag_params): two frames ride the channel axis so 64-feature
+    trunk convs become 128-wide and fill the MXU's lanes.  MFU probes
+    measured the packed useful rate at 1.52x the unpacked one for identical
+    math (runs/probe_mfu.out: 97.6 vs 64.4 TFLOP/s); these rows show what
+    that buys end-to-end vs the edsr-folded-b2 / vdsr-bf16 rows."""
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        from ml_super_resolution_tpu.kernels.apply import (
+            edsr_folded_packed_forward,
+            pack_blockdiag_params,
+            vdsr_packed_forward,
+        )
+        from ml_super_resolution_tpu.models import build_model
+        from ml_super_resolution_tpu.utils.config import ModelConfig
+
+        m = build_model(ModelConfig(name="edsr", scale=4, channels=3))
+        for nb in (2, 4):
+            try:
+                x = jnp.asarray(np.random.default_rng(0).random(
+                    (nb, 270, 480, 3)), jnp.float32)
+                v = m.init(jax.random.key(0), x[:1], train=False)
+                pp = pack_blockdiag_params(v["params"], reps=2, scale=4)
+
+                def fwd(q, inp):
+                    return edsr_folded_packed_forward(
+                        q, inp, 4, reps=2, dtype=jnp.bfloat16)
+
+                dtf = _iter_time(fwd, pp, x, iters=5)
+                mp = nb * 1080 * 1920 / 1e6
+                print(f"# edsr-folded-packed2-b{nb} x4 -> 1080p: "
+                      f"{mp/dtf:.1f} MP/s ({dtf*1e3:.2f} ms)", file=sys.stderr)
+            except TimeoutError:
+                raise
+            except Exception as e:
+                print(f"# edsr-folded-packed2-b{nb} failed: {e}",
+                      file=sys.stderr)
+        try:
+            mv = build_model(ModelConfig(name="vdsr", scale=4, channels=1))
+            x = jnp.asarray(np.random.default_rng(0).random(
+                (2, 1080, 1920, 1)), jnp.float32)
+            v = mv.init(jax.random.key(0), x[:1], train=False)
+            pp = pack_blockdiag_params(v["params"], reps=2)
+
+            def fwd(q, inp):
+                return vdsr_packed_forward(q, inp, reps=2, dtype=jnp.bfloat16)
+
+            dtf = _iter_time(fwd, pp, x, iters=4)
+            print(f"# vdsr-packed2-b2 x4 -> 1080p: "
+                  f"{2*1080*1920/1e6/dtf:.1f} MP/s ({dtf*1e3:.2f} ms)",
+                  file=sys.stderr)
+        except TimeoutError:
+            raise
+        except Exception as e:
+            print(f"# vdsr-packed2-b2 failed: {e}", file=sys.stderr)
+    except TimeoutError:
+        raise
+    except Exception as e:
+        print(f"# lane-packed bench failed: {e}", file=sys.stderr)
+
+
+def bench_edsr_full_folded():
+    """Full-paper EDSR (32 blocks x 256 features, 43M params) folded row:
+    the 256-wide trunk fills both MXU lane halves, so this row carries the
+    repo's peak measured model MFU (probe: 105.9 trunk TFLOP/s ~ 54% of the
+    v5e's 197 bf16 peak, vs ~32 TFLOP/s for the 64-feature baseline — the
+    lane-occupancy ceiling made visible in the driver record)."""
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        from ml_super_resolution_tpu.kernels.apply import edsr_folded_forward
+        from ml_super_resolution_tpu.models import build_model
+        from ml_super_resolution_tpu.utils.config import ModelConfig
+
+        m = build_model(ModelConfig(
+            name="edsr", scale=4, channels=3,
+            overrides={"num_blocks": 32, "features": 256, "res_scale": 0.1}))
+        x = jnp.asarray(np.random.default_rng(0).random((1, 270, 480, 3)),
+                        jnp.float32)
+        v = m.init(jax.random.key(0), x[:1], train=False)
+
+        def fwd(var, inp):
+            return edsr_folded_forward(var["params"], inp, 4,
+                                       dtype=jnp.bfloat16)
+
+        dtf = _iter_time(fwd, v, x, iters=2)
+        tfl = 32 * 2 * 2 * 270 * 480 * 9 * 256 * 256 / dtf / 1e12
+        print(f"# edsr-full-folded-bf16-b1 x4 -> 1080p: "
+              f"{1080*1920/1e6/dtf:.1f} MP/s ({dtf*1e3:.2f} ms)  "
+              f"trunk {tfl:.1f} TFLOP/s", file=sys.stderr)
+    except TimeoutError:
+        raise
+    except Exception as e:
+        print(f"# edsr-full-folded bench failed: {e}", file=sys.stderr)
 
 
 def bench_serve_load(client_counts=(1, 4, 8), per_client: int = 15):
