@@ -39,7 +39,26 @@ class CheckpointManager:
         step = self._mgr.latest_step()
         if step is None:
             return None
-        restored = self._mgr.restore(step, args=ocp.args.StandardRestore(template))
+        try:
+            restored = self._mgr.restore(
+                step, args=ocp.args.StandardRestore(template))
+        except ValueError as e:
+            # Orbax raises a structure-mismatch ValueError when the run is
+            # resumed with flags that change the state pytree — most often a
+            # different optimizer chain (e.g. adding --lr-decay-steps to a
+            # run whose checkpoints were saved with constant lr changes
+            # opt_state's shape).  Surface the actionable cause instead of
+            # the raw metadata diff (observed 2026-08-19: a chip queue spun
+            # for 15 min on the bare orbax error).
+            raise ValueError(
+                f"checkpoint at step {step} in {self.dir} does not match the "
+                "current training state structure. This usually means the "
+                "run was resumed with flags that change the optimizer or "
+                "model state (e.g. adding/removing lr-decay, switching "
+                "optimizers, changing model-args). Resume with the original "
+                "flags (see config.json next to the checkpoints), or start "
+                "a fresh --workdir for the new configuration."
+            ) from e
         return restored, step
 
     def save_config(self, cfg: ExperimentConfig) -> None:

@@ -11,6 +11,14 @@ import os
 # The axon sitecustomize imports jax at interpreter startup, so the env var is
 # already consumed — override through jax.config (backends are still lazy).
 os.environ["JAX_PLATFORMS"] = "cpu"
+
+# Tests must NEVER contend on the real chip mutex: bench.py's _ChipLock holds
+# the flock until process exit BY DESIGN, so a test that exercises it (e.g.
+# test_bench_fallback) would otherwise starve a live chip queue for the rest
+# of the pytest session (observed 2026-08-19 19:40-19:54: a full-EDSR chunk
+# blocked 14 min on flock held by a CPU-only pytest run).  Point the lock at
+# a per-session scratch file before anything imports bench.
+os.environ["SR_CHIP_LOCK"] = f"/tmp/sr_chip_test_{os.getpid()}.lock"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -207,3 +207,22 @@ def test_device_dataset_mode(tmp_path):
              (tmp_path / "a" / "metrics.jsonl").read_text().splitlines()]
     losses = [l["loss"] for l in lines if l["kind"] == "train"]
     assert losses[-1] < losses[0]
+
+
+def test_restore_structure_mismatch_names_the_cause(tmp_path):
+    """Resuming with flags that change the opt_state pytree must fail with
+    an actionable message (naming config drift + config.json), not orbax's
+    raw metadata diff (observed 2026-08-19: a chip queue spun 15 min on the
+    bare error after adding --lr-decay-steps to a constant-lr run)."""
+    import jax.numpy as jnp
+
+    from ml_super_resolution_tpu.train.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(tmp_path / "ckpts", max_to_keep=1)
+    saved = {"params": {"w": jnp.ones((2,))}, "opt_state": {"mu": jnp.zeros((2,))}}
+    mgr.save(7, saved)
+    mgr.wait()
+    template = {"params": {"w": jnp.ones((2,))},
+                "opt_state": {"mu": jnp.zeros((2,)), "count": jnp.zeros(())}}
+    with pytest.raises(ValueError, match="config.json"):
+        CheckpointManager(tmp_path / "ckpts", max_to_keep=1).restore_latest(template)
