@@ -127,12 +127,32 @@ def _make_apply_fn(model, variables, model_name: str, scale: int,
     # Folded routes honour the model's compute dtype (a bf16-rebuilt model —
     # serve --bf16 / upscale --bf16 — folds in bf16: the 152 MP/s config).
     dtype = getattr(model, "dtype", jnp.float32)
+    # SR_LANE_PACK=1 additionally packs PAIRS of frames into the channel
+    # axis with block-diagonal kernels (kernels/apply.py, MFU probes: 64-
+    # feature trunk convs run at half the MXU's lane rate; packed 1.52x).
+    # Applies only when the runtime batch is even; identical math (goldens
+    # in tests/test_lane_packing.py).  Default off until the measured
+    # on-chip win is recorded.
+    pack = _env_on("SR_LANE_PACK", "0")
     if model_name == "edsr" and _env_on("SR_FOLDED_TAIL"):
-        from ml_super_resolution_tpu.kernels.apply import edsr_folded_forward
+        from ml_super_resolution_tpu.kernels.apply import (
+            edsr_folded_forward,
+            edsr_folded_packed_forward,
+            pack_blockdiag_params,
+        )
 
-        return lambda inp: edsr_folded_forward(
-            variables["params"], inp, scale,
-            res_scale=float(getattr(model, "res_scale", 1.0)), dtype=dtype)
+        rs = float(getattr(model, "res_scale", 1.0))
+        pp = (pack_blockdiag_params(variables["params"], 2, scale)
+              if pack else None)
+
+        def edsr_fn(inp):
+            if pp is not None and inp.shape[0] % 2 == 0:
+                return edsr_folded_packed_forward(
+                    pp, inp, scale, reps=2, res_scale=rs, dtype=dtype)
+            return edsr_folded_forward(
+                variables["params"], inp, scale, res_scale=rs, dtype=dtype)
+
+        return edsr_fn
     if model_name in ("srresnet", "srgan") and _env_on("SR_FOLDED_TAIL"):
         # Default srresnet/srgan inference is the folded-tail recast
         # (kernels/apply.py): exact weight rearrangement, identical
@@ -140,12 +160,39 @@ def _make_apply_fn(model, variables, model_name: str, scale: int,
         # (the HR 9x9x64->3 tail was ~70% of frame time at 3/128 MXU
         # lanes).  SR_FOLDED_TAIL=0 restores the plain flax apply.
         from ml_super_resolution_tpu.kernels.apply import (
+            pack_blockdiag_params,
             srresnet_folded_forward,
+            srresnet_folded_packed_forward,
         )
 
-        return lambda inp: srresnet_folded_forward(
-            variables["params"], variables.get("batch_stats", {}), inp, scale,
-            dtype=dtype)
+        stats = variables.get("batch_stats", {})
+        pp = ps = None
+        if pack:
+            pp = pack_blockdiag_params(variables["params"], 2, scale)
+            ps = pack_blockdiag_params(stats, 2, scale)
+
+        def srresnet_fn(inp):
+            if pp is not None and inp.shape[0] % 2 == 0:
+                return srresnet_folded_packed_forward(
+                    pp, ps, inp, scale, reps=2, dtype=dtype)
+            return srresnet_folded_forward(
+                variables["params"], stats, inp, scale, dtype=dtype)
+
+        return srresnet_fn
+    if model_name == "vdsr" and pack:
+        from ml_super_resolution_tpu.kernels.apply import (
+            pack_blockdiag_params,
+            vdsr_packed_forward,
+        )
+
+        pp = pack_blockdiag_params(variables["params"], 2)
+
+        def vdsr_fn(inp):
+            if inp.shape[0] % 2 == 0:
+                return vdsr_packed_forward(pp, inp, reps=2, dtype=dtype)
+            return model.apply(variables, inp, train=False)
+
+        return vdsr_fn
     return lambda inp: model.apply(variables, inp, train=False)
 
 

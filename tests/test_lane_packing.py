@@ -79,3 +79,22 @@ def test_pack_rejects_nothing_silently():
     new_paths = {jax.tree_util.keystr(p)
                  for p, _ in jax.tree_util.tree_leaves_with_path(pp)}
     assert ref_paths == new_paths
+
+
+def test_sr_lane_pack_route_is_byte_identical(monkeypatch):
+    """SR_LANE_PACK=1 routes upscale_frames through the packed forwards;
+    the uint8 output must be byte-identical to the default route."""
+    from ml_super_resolution_tpu.infer import upscale_frames
+
+    m, v, _ = _init("edsr", 2, 3, overrides={"num_blocks": 2, "features": 8})
+    frames = jnp.asarray(
+        (np.random.default_rng(3).random((4, 20, 18, 3)) * 255).astype(np.uint8))
+    base = np.asarray(upscale_frames(m, v, frames, "edsr", 2))
+    monkeypatch.setenv("SR_LANE_PACK", "1")
+    packed = np.asarray(upscale_frames(m, v, frames, "edsr", 2))
+    assert packed.shape == base.shape
+    np.testing.assert_array_equal(packed, base)
+
+    # odd batch falls back to the unpacked route (still correct)
+    odd = np.asarray(upscale_frames(m, v, frames[:3], "edsr", 2))
+    np.testing.assert_array_equal(odd, base[:3])
