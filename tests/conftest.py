@@ -38,3 +38,19 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(1234)
+
+
+def pytest_collection_modifyitems(config, items):
+    """Fast default path (VERDICT r3 #9): the full suite crossed 17 min on
+    this 1-core host, so the slowest e2e tests are marked ``slow`` and
+    deselected by default.  Run EVERYTHING with ``SR_TEST_ALL=1 pytest``
+    (CI mode) or select explicitly with ``-m slow`` / ``-m ''``.
+    """
+    if os.environ.get("SR_TEST_ALL") or config.getoption("-m"):
+        return
+    kept, dropped = [], []
+    for item in items:
+        (dropped if item.get_closest_marker("slow") else kept).append(item)
+    if dropped:
+        config.hook.pytest_deselected(items=dropped)
+        items[:] = kept

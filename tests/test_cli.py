@@ -53,6 +53,7 @@ def test_cli_eval_missing_run(tmp_path):
         main(["eval", "--workdir", str(tmp_path / "nope")])
 
 
+@pytest.mark.slow
 def test_eval_on_benchmark_folder(tmp_path, capsys):
     """Set5-style folder of PNGs drives the eval protocol end to end."""
     from ml_super_resolution_tpu.data.datasets import SyntheticImages
@@ -78,6 +79,7 @@ def test_eval_on_benchmark_folder(tmp_path, capsys):
     assert 3 < out["psnr"] < 60
 
 
+@pytest.mark.slow
 def test_eval_scales_flag(tmp_path, capsys):
     wd = tmp_path / "run"
     main([
@@ -95,6 +97,7 @@ def test_eval_scales_flag(tmp_path, capsys):
         assert 3 < out[s]["psnr"] < 60
 
 
+@pytest.mark.slow
 def test_cli_srgan_round_trip(tmp_path, capsys):
     """srgan run dirs checkpoint a GANState; eval/upscale must restore it."""
     wd = tmp_path / "gan_run"
@@ -124,6 +127,7 @@ def test_cli_srgan_round_trip(tmp_path, capsys):
     assert np.asarray(Image.open(dst)).shape == (96, 96, 3)
 
 
+@pytest.mark.slow
 def test_cli_tiles_2d_grid(tmp_path, capsys):
     """--tiles RxC routes through tiled_apply_2d and matches 1-device output."""
     wd = tmp_path / "run"
@@ -191,6 +195,7 @@ def test_model_arg_overrides_parse_and_build():
     assert m.num_blocks == 32 and m.features == 256 and m.res_scale == 0.1
 
 
+@pytest.mark.slow
 def test_cli_upscale_bf16(tmp_path, capsys):
     """--bf16 inference trunk: runs and matches f32 geometry."""
     from ml_super_resolution_tpu.cli import main
@@ -216,6 +221,7 @@ def test_cli_upscale_bf16(tmp_path, capsys):
     assert np.asarray(Image.open(dst)).shape == (40, 48, 3)
 
 
+@pytest.mark.slow
 def test_cli_int8_eval_and_upscale(tmp_path, capsys):
     """--int8 PTQ path: eval reports a sane quantized PSNR and upscale
     produces correct geometry (quant.py end-to-end through the CLI)."""

@@ -5,6 +5,8 @@ mesh in tests); the multi-process path follows the standard JAX
 multi-controller contract and is exercised structurally.
 """
 
+import pytest
+
 import jax
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -55,6 +57,7 @@ def test_dcn_data_sharded_step_runs():
     assert float(out) == 1.0
 
 
+@pytest.mark.slow
 def test_two_process_dcn_step_matches_single(tmp_path):
     """REAL two-process execution (VERDICT r2 missing #3): two CPU processes
     join a local coordinator, build the (2, 4) (dcn, data) mesh, feed

@@ -6,6 +6,8 @@ input; the reference here builds each transform independently with numpy
 not just replayed.
 """
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -68,6 +70,7 @@ def test_d4_ensemble_is_identity_for_equivariant_fn():
                                np.asarray(up(x)), rtol=1e-6, atol=0)
 
 
+@pytest.mark.slow
 def test_upscale_frames_ensemble_tiled_equals_whole():
     # ensemble wraps the whole tiled forward; tiled == whole bitwise per
     # transform, so the ensembled uint8 frames must match bitwise too

@@ -35,6 +35,7 @@ def _tiles(n=4, size=64, seed=0):
     return np.stack([ds.decode(i) for i in range(n)])
 
 
+@pytest.mark.slow
 def test_gan_step_updates_both_networks(cfg):
     tr = GANTrainer(cfg)
     state = tr.init_state(0)
@@ -49,6 +50,7 @@ def test_gan_step_updates_both_networks(cfg):
     assert int(state.step) == 1
 
 
+@pytest.mark.slow
 def test_gan_two_steps_stable(cfg):
     tr = GANTrainer(cfg)
     state = tr.init_state(0)
@@ -59,6 +61,7 @@ def test_gan_two_steps_stable(cfg):
     assert np.isfinite(float(m["g_loss"]))
 
 
+@pytest.mark.slow
 def test_gan_fit_with_pretrain(cfg, tmp_path):
     import dataclasses
 
@@ -91,6 +94,7 @@ def test_gan_evaluate(cfg):
     assert np.isfinite(out["psnr"])
 
 
+@pytest.mark.slow
 def test_gan_resume_skips_pretrain(cfg, tmp_path, monkeypatch):
     """A restorable adversarial ckpt must short-circuit the MSE phase."""
     import dataclasses
@@ -147,6 +151,7 @@ def test_gan_featurenet_backbone(cfg, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_gan_steps_per_call_scan_matches_single(cfg):
     """One scan call of K=2 reproduces two sequential steps (same state).
 
@@ -180,6 +185,7 @@ def test_gan_steps_per_call_scan_matches_single(cfg):
         )
 
 
+@pytest.mark.slow
 def test_gan_fit_steps_per_call_smoke(tmp_path):
     """fit() with steps_per_call>1: schedule, cadences and tail all work."""
     import dataclasses
@@ -208,6 +214,7 @@ def test_gan_fit_steps_per_call_smoke(tmp_path):
     assert gan_steps[-2:] == [4, 6]  # crossing semantics: 4 (scan), 6 (tail)
 
 
+@pytest.mark.slow
 def test_gan_device_dataset_mode(tmp_path):
     """GAN device-resident corpus: trains to the step target, no host batches."""
     import dataclasses
@@ -237,6 +244,7 @@ def test_gan_device_dataset_mode(tmp_path):
     assert gl and all(np.isfinite(v) for v in gl)
 
 
+@pytest.mark.slow
 def test_gan_d_balance_knobs(cfg):
     """D-balance controls (VERDICT r2 weak #5): label smoothing moves the
     optimal-D loss floor off zero, R1 adds a real-gradient penalty, and
@@ -265,6 +273,7 @@ def test_gan_d_balance_knobs(cfg):
     assert step1 < step0
 
 
+@pytest.mark.slow
 def test_gan_patchwise_d_and_augment(cfg):
     """D-task hardening (VERDICT r3 weak #5): patch-wise D crops every D
     input to d_patch^2 (D's dense head is built at that size) and

@@ -1,5 +1,7 @@
 """Driver contract: entry() compiles; dryrun_multichip runs on 8 fake devices."""
 
+import pytest
+
 import sys
 from pathlib import Path
 
@@ -16,5 +18,6 @@ def test_entry_jits():
     assert out.shape == (2, 96, 96, 3)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     graft.dryrun_multichip(8)

@@ -37,6 +37,7 @@ def _init(name, scale, channels, overrides=None, hw=(12, 10), batch=4):
 
 
 @pytest.mark.parametrize("scale", [2, 4])
+@pytest.mark.slow
 def test_edsr_packed_matches_folded(scale):
     m, v, x = _init("edsr", scale, 3,
                     overrides={"num_blocks": 3, "features": 8})
@@ -48,6 +49,7 @@ def test_edsr_packed_matches_folded(scale):
                                atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_srresnet_packed_matches_folded():
     m, v, x = _init("srresnet", 4, 3)
     stats = v.get("batch_stats", {})

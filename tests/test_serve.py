@@ -6,6 +6,7 @@ import threading
 import urllib.request
 
 import numpy as np
+import pytest
 from PIL import Image
 
 from ml_super_resolution_tpu.cli import main
@@ -102,6 +103,7 @@ def test_bucket_respects_non_pow2_max_batch():
     assert _bucket(1, 1) == 1
 
 
+@pytest.mark.slow
 def test_serve_multi_model_and_bf16(tmp_path, capsys):
     """Round-3 serving depth: bf16 trunk + second model behind ?model=."""
     wd1, wd2 = tmp_path / "a", tmp_path / "b"

@@ -24,7 +24,12 @@ def test_make_mesh_shapes():
 
 @pytest.mark.parametrize(
     "name,sp,h",
-    [("srcnn", 4, 64), ("espcn", 8, 64), ("vdsr", 2, 80)],  # band >= 2*halo
+    [
+        ("srcnn", 4, 64),
+        ("espcn", 8, 64),
+        # band >= 2*halo; the 20-conv vdsr case is the slow one
+        pytest.param("vdsr", 2, 80, marks=pytest.mark.slow),
+    ],
 )
 def test_tiled_equals_whole_frame(name, sp, h, rng):
     """The load-bearing parity test: band-tiled conv stack with ppermute halo
@@ -81,6 +86,7 @@ def test_tiled_apply_rejects_band_smaller_than_two_halos(rng):
 
 
 @pytest.mark.parametrize("name,sp,h", [("espcn", 8, 64), ("srcnn", 4, 32)])
+@pytest.mark.slow
 def test_upscale_frames_tiled_equals_whole(name, sp, h, rng):
     """End-to-end upscale (color split + network + merge): tiled == whole,
     covering both LR-space (espcn) and pre-upscaled (srcnn) input paths."""
@@ -98,6 +104,7 @@ def test_upscale_frames_tiled_equals_whole(name, sp, h, rng):
     np.testing.assert_array_equal(np.asarray(tiled), np.asarray(whole))
 
 
+@pytest.mark.slow
 def test_upscale_frames_pads_indivisible_height(rng):
     """Heights not divisible by the space axis: padded band pass + exact
     bottom-strip fixup must still equal whole-frame bitwise."""
@@ -144,6 +151,7 @@ def test_upscale_frames_pallas_path_matches(rng):
     ("espcn", (4, 2), (64, 32)),
     ("srcnn", (2, 2), (64, 64)),   # halo 8 -> blocks 32x32
 ])
+@pytest.mark.slow
 def test_tiled_2d_equals_whole_frame(name, grid, hw, rng):
     """2D rows x cols halo exchange == whole-frame, bitwise."""
     from ml_super_resolution_tpu.parallel.tiling import tiled_apply_2d
@@ -177,6 +185,7 @@ def test_tiled_2d_rejects_small_blocks(rng):
         tiled_apply_2d(lambda v: v, x, mesh, halo=8, scale=1)
 
 
+@pytest.mark.slow
 def test_upscale_frames_2d_tiled_equals_whole(rng):
     """Product-path 2D tiling (mesh with space_w) == whole-frame bitwise,
     on H and W both indivisible by the grid (pad + strip fixup, both axes)."""
@@ -193,6 +202,7 @@ def test_upscale_frames_2d_tiled_equals_whole(rng):
     np.testing.assert_array_equal(np.asarray(tiled), np.asarray(whole))
 
 
+@pytest.mark.slow
 def test_upscale_frames_2d_divisible(rng):
     """2D tiling on exactly-divisible dims (no fixup path)."""
     cfg = ModelConfig(name="srcnn", scale=2, channels=1)
@@ -206,6 +216,7 @@ def test_upscale_frames_2d_divisible(rng):
     np.testing.assert_array_equal(np.asarray(tiled), np.asarray(whole))
 
 
+@pytest.mark.slow
 def test_upscale_frames_int8_tiled_equals_whole(rng):
     """--tiles x --int8 composition: the quantized convs are exact integer
     ops and the epilogue is per-element, so halo-exchange tiling must be

@@ -175,6 +175,7 @@ def test_steps_per_call_scan_matches_single_steps(tmp_path):
     assert logged(tmp_path / "k4")[-3:] == [4, 8, 9]
 
 
+@pytest.mark.slow
 def test_device_dataset_mode(tmp_path):
     """Device-resident corpus: trains, bit-deterministic, scan == singles."""
     import dataclasses

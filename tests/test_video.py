@@ -143,6 +143,7 @@ def test_cli_upscale_y4m_420(tmp_path, capsys):
     assert got[0][1].shape == (h, w)  # 4:2:0 preserved
 
 
+@pytest.mark.slow
 def test_cli_upscale_y4m_rgb_model_emits_c444(tmp_path, capsys):
     from ml_super_resolution_tpu.cli import main
 
