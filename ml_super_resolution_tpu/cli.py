@@ -323,10 +323,17 @@ def cmd_eval(args) -> int:
         result["ensemble"] = True
     if getattr(args, "int8", False):
         result["int8"] = True
+    feat_params = None
+    if getattr(args, "perceptual", ""):
+        from ml_super_resolution_tpu.models.featurenet import load_feature_net
+
+        feat_params = load_feature_net(args.perceptual)
+        result["perceptual"] = args.perceptual
     for s in scales:
         out = trainer.evaluate(state, imgs, scale=s,
                                ensemble=getattr(args, "ensemble", False),
-                               int8=getattr(args, "int8", False))
+                               int8=getattr(args, "int8", False),
+                               perceptual=feat_params)
         if len(scales) == 1:
             result.update(out)
         else:
@@ -604,6 +611,11 @@ def main(argv=None) -> int:
     p_eval.add_argument("--int8", action="store_true",
                         help="PTQ int8 forward (quant.py): reports the "
                              "quantized PSNR/SSIM for this checkpoint")
+    p_eval.add_argument("--perceptual", default="", metavar="FEATURENET",
+                        help="FeatureNet dir/npz (sr featurenet): adds "
+                             "'featnet' = mean feature-space MSE vs HR, the "
+                             "metric counterpart of the SRGAN perceptual "
+                             "loss (lower is better)")
     p_eval.set_defaults(fn=cmd_eval)
 
     p_up = sub.add_parser("upscale", help="upscale an image with a trained run")

@@ -137,6 +137,26 @@ def save_feature_net(params, workdir: str | Path) -> Path:
     return out
 
 
+def feature_distance(params, a, b):
+    """Mean squared FeatureNet-feature distance — the perceptual *metric*
+    counterpart of the GAN's perceptual *loss* (lower = perceptually closer).
+
+    ``a``/``b``: (H, W, C) or (N, H, W, C) images in [0, 1].  Grayscale
+    (C=1) inputs are replicated to the encoder's 3 channels — a defined
+    (if off-distribution) metric for the Y-only models; RGB models are the
+    intended consumers (SRGAN/SRResNet eval).
+    """
+    net = FeatureNet()
+    if a.ndim == 3:
+        a, b = a[None], b[None]
+    if a.shape[-1] == 1:
+        a = jnp.repeat(a, 3, axis=-1)
+        b = jnp.repeat(b, 3, axis=-1)
+    fa = net.apply({"params": params}, a)
+    fb = net.apply({"params": params}, b)
+    return jnp.mean((fa - fb) ** 2)
+
+
 def load_feature_net(path: str | Path):
     """Inverse of save_feature_net -> FeatureNet params pytree."""
     import flax

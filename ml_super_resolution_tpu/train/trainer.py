@@ -384,13 +384,17 @@ class Trainer:
     def evaluate(
         self, state: TrainState, images: Sequence[np.ndarray],
         scale: int | None = None, ensemble: bool = False,
-        int8: bool = False,
+        int8: bool = False, perceptual=None,
     ) -> dict[str, float]:
         """Protocol eval: Y-channel PSNR/SSIM with ``scale``-px shave.
 
         ``int8`` scores the PTQ-quantized forward (quant.py), calibrated on
         the first eval image — the honest way to report the int8 PSNR delta
-        against this same method's float numbers."""
+        against this same method's float numbers.
+
+        ``perceptual``: FeatureNet params pytree (models/featurenet.py);
+        adds ``featnet`` = mean feature-space MSE vs HR (lower is better),
+        the metric counterpart of the SRGAN perceptual loss."""
         c = self.cfg
         scale = scale or c.model.scale
         y_only = c.model.channels == 1
@@ -412,21 +416,33 @@ class Trainer:
                                 lr0[None])
             net = d4_ensemble(qfn) if ensemble else qfn
             fwd = lambda p, bs, lr: net(lr[None])[0]
-        psnrs, ssims = [], []
+        feat_fn = None
+        if perceptual is not None:
+            from ml_super_resolution_tpu.models.featurenet import (
+                feature_distance,
+            )
+
+            feat_fn = jax.jit(partial(feature_distance, perceptual))
+        psnrs, ssims, feats = [], [], []
         for img in images:
             lr_img, hr_img = eval_pair(
                 jnp.asarray(img), scale, y_only=y_only, lr_space=self.spec["lr_space"]
             )
             sr = fwd(params, state.batch_stats, lr_img)
             sr = jnp.clip(sr, 0.0, 1.0)
+            if feat_fn is not None:  # on full color, before the luma protocol
+                feats.append(feat_fn(sr, hr_img))
             if not y_only:  # score on luma (SISR protocol)
                 sr, hr_img = rgb_to_y(sr), rgb_to_y(hr_img)
             psnrs.append(psnr(sr, hr_img, border=scale))
             ssims.append(ssim(sr, hr_img, border=scale))
-        return {
+        out = {
             "psnr": float(np.mean([np.asarray(p) for p in psnrs])),
             "ssim": float(np.mean([np.asarray(s) for s in ssims])),
         }
+        if feats:
+            out["featnet"] = float(np.mean([np.asarray(f) for f in feats]))
+        return out
 
     # --------------------------------------------------------------- fit --
     def fit(
