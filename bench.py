@@ -309,18 +309,62 @@ def main():
     # `parsed: null` when the only JSON line was early).
     print(json.dumps(result), flush=True)
     # The child held the device claim; give its teardown the measured gap
-    # before this process attaches for the secondary rows (claiming while a
-    # teardown is in flight futex-waits forever — CLAUDE.md hazard 2).
+    # before the NEXT process attaches for the secondary rows (claiming
+    # while a teardown is in flight futex-waits forever — CLAUDE.md
+    # hazard 2).
     time.sleep(_CLAIM_GAP_S)
     try:
-        # Reserve time for the final re-emit + our own teardown gap.
-        _secondary_rows(deadline=t0 + total_budget - 60)
+        # Secondary rows run in their OWN bounded subprocess; this parent
+        # never attaches.  Round-4 preview evidence (bench_r4_preview2.err):
+        # the in-parent attach wedged once and every later row then hung on
+        # the half-attached client, burning 600 s on three doomed rows.
+        _run_secondaries_subprocess(
+            seconds=t0 + total_budget - 60 - time.monotonic())
     finally:
         # Final stdout line = the headline JSON, on EVERY exit path.
         print(json.dumps(result), flush=True)
         # Teardown spacing while still holding the flock, so the next
         # with_chip holder can't claim into our client's teardown.
         time.sleep(_CLAIM_GAP_S)
+
+
+def _run_secondaries_subprocess(seconds: float):
+    """Run the secondary rows in a bounded child process.
+
+    The parent stays chip-free for its whole life: its only jobs are the
+    flock, the two bounded children, and the final stdout re-emit.  A child
+    whose first attach wedges kills itself (exit 86, see _secondary_rows);
+    a child that overruns gets SIGTERM then SIGKILL — ugly for the relay
+    (CLAUDE.md hazard 2) but bench is the round's last chip user.
+    """
+    import subprocess
+
+    if seconds < 60:
+        print(f"# no budget for secondary rows ({seconds:.0f}s left)",
+              file=sys.stderr)
+        return
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--secondary-only",
+         str(int(seconds - 30))],
+        stdout=sys.stderr, stderr=sys.stderr)
+    try:
+        rc = proc.wait(timeout=seconds)
+    except subprocess.TimeoutExpired:
+        proc.terminate()
+        try:
+            proc.wait(timeout=20)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            proc.wait()
+        print("# secondary-row child overran its budget; terminated",
+              file=sys.stderr)
+        return
+    if rc == 86:
+        print("# secondary-row child bailed: first row timed out before any "
+              "row completed (attach-wedge signature) — remaining rows "
+              "would hang on the same dead client", file=sys.stderr)
+    elif rc != 0:
+        print(f"# secondary-row child exited rc={rc}", file=sys.stderr)
 
 
 def _secondary_rows(deadline: float):
@@ -397,6 +441,7 @@ def _secondary_rows(deadline: float):
         # -- the pathological Mosaic compile, LAST by design ----------------
         ("espcn-pallas rows", 600, bench_fused_espcn),
     ]
+    completed = 0
     for idx, (label, budget, thunk) in enumerate(rows):
         left = deadline - time.monotonic()
         if left < 30:
@@ -404,13 +449,22 @@ def _secondary_rows(deadline: float):
             print(f"# secondary-row deadline reached; skipping: "
                   f"{', '.join(skipped)}", file=sys.stderr)
             break
-        with _bounded(int(min(budget, left)), label):
+        guard = _bounded(int(min(budget, left)), label)
+        with guard:
             try:
                 thunk()
             except TimeoutError:
                 raise
             except Exception as e:
                 print(f"# {label} bench failed: {e}", file=sys.stderr)
+        if guard.fired and completed == 0:
+            # Attach-wedge signature: the very first device row hung.  A
+            # SIGALRM unwound the frame but this process keeps a
+            # half-attached client — every later row would hang the same
+            # way (measured: bench_r4_preview2.err).  Bail out.
+            sys.exit(86)
+        if not guard.fired:
+            completed += 1
 
 
 class _bounded:
@@ -422,11 +476,16 @@ class _bounded:
 
     def __init__(self, seconds: int, label: str, swallow: bool = True):
         self.seconds, self.label, self.swallow = seconds, label, swallow
+        self.fired = False
 
     def __enter__(self):
         import signal
 
         def handler(signum, frame):
+            # Record the firing HERE: jax can wrap the TimeoutError inside
+            # its own RuntimeError during backend init, in which case the
+            # row's `except Exception` swallows it before __exit__ sees it.
+            self.fired = True
             raise TimeoutError(f"{self.label}: exceeded {self.seconds}s budget")
 
         self._old = signal.signal(signal.SIGALRM, handler)
@@ -925,5 +984,9 @@ if __name__ == "__main__":
         # the chip flock, so neither a SIGALRM guard nor a second lock is
         # needed here — a wedged claim just gets killed.
         print(json.dumps(_measure_headline()), flush=True)
+    elif "--secondary-only" in sys.argv[1:]:
+        # Child mode for _run_secondaries_subprocess: argv[-1] = seconds of
+        # budget.  Exit 86 = attach-wedge bail (see _secondary_rows).
+        _secondary_rows(deadline=time.monotonic() + float(sys.argv[-1]))
     else:
         main()

@@ -36,6 +36,8 @@ def _run_main(monkeypatch, attempts, probe=True, total_budget=None):
     monkeypatch.setattr(bench, "_chip_probe", lambda s: probe)
     monkeypatch.setattr(bench.time, "sleep", lambda s: None)
     monkeypatch.setattr(bench, "_secondary_rows", lambda deadline: None)
+    monkeypatch.setattr(bench, "_run_secondaries_subprocess",
+                        lambda seconds: None)
     monkeypatch.setattr(bench._ChipLock, "acquire",
                         lambda self, deadline_s: True)
     if total_budget is not None:
@@ -137,3 +139,58 @@ def test_headline_attempt_parses_child_tail(monkeypatch):
 
     monkeypatch.setattr(subprocess, "run", timeout_run)
     assert bench._headline_attempt(5) == (None, "timeout")
+
+
+def test_secondaries_run_in_subprocess(monkeypatch, capsys):
+    """The parent never attaches: secondary rows go through a bounded child
+    (round-4 preview lesson: one wedged in-parent attach hung every later
+    row).  rc=86 = attach-wedge bail, reported but not fatal."""
+    import subprocess
+    import types
+
+    import bench
+
+    calls = []
+
+    def fake_popen(argv, stdout=None, stderr=None):
+        calls.append(argv)
+        assert "--secondary-only" in argv
+        return types.SimpleNamespace(wait=lambda timeout=None: 86)
+
+    monkeypatch.setattr(subprocess, "Popen", fake_popen)
+    bench._run_secondaries_subprocess(seconds=300)
+    assert len(calls) == 1 and float(calls[0][-1]) <= 270
+    err = capsys.readouterr().err
+    assert "attach-wedge signature" in err
+
+    # under 60s of budget: no child at all
+    bench._run_secondaries_subprocess(seconds=45)
+    assert len(calls) == 1
+    assert "no budget for secondary rows" in capsys.readouterr().err
+
+
+def test_secondaries_child_overrun_is_terminated(monkeypatch, capsys):
+    import subprocess
+    import types
+
+    import bench
+
+    state = {"terminated": False, "killed": False}
+
+    class FakeProc:
+        def wait(self, timeout=None):
+            if not state["terminated"]:
+                raise subprocess.TimeoutExpired("bench", timeout)
+            return -15
+
+        def terminate(self):
+            state["terminated"] = True
+
+        def kill(self):
+            state["killed"] = True
+
+    monkeypatch.setattr(subprocess, "Popen",
+                        lambda argv, stdout=None, stderr=None: FakeProc())
+    bench._run_secondaries_subprocess(seconds=120)
+    assert state["terminated"] and not state["killed"]
+    assert "overran its budget" in capsys.readouterr().err
