@@ -671,7 +671,7 @@ def bench_lane_packed():
     pack_blockdiag_params): two frames ride the channel axis so 64-feature
     trunk convs become 128-wide and fill the MXU's lanes.  MFU probes
     measured the packed useful rate at 1.52x the unpacked one for identical
-    math (runs/probe_mfu.out: 97.6 vs 64.4 TFLOP/s); these rows show what
+    math (runs/probe_mfu.err: 97.6 vs 64.4 TFLOP/s); these rows show what
     that buys end-to-end vs the edsr-folded-b2 / vdsr-bf16 rows."""
     try:
         import jax

@@ -266,7 +266,7 @@ def edsr_folded_forward(params, x, scale: int, res_scale: float = 1.0,
 
 
 # ---------------------------------------------------------------------------
-# Batch-to-lanes packing (VERDICT r4 / MFU probes, runs/probe_mfu.out):
+# Batch-to-lanes packing (VERDICT r4 / MFU probes, runs/probe_mfu.err):
 # a 64-feature trunk conv occupies half of the MXU's 128 lanes, capping
 # useful throughput at ~59-64 TFLOP/s on v5e; packing TWO frames into the
 # channel axis with block-diagonal kernels issues 2x the MACs but runs them
