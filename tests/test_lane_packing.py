@@ -4,7 +4,7 @@ packed-frames inference must equal per-frame inference exactly up to float
 summation noise — every inserted weight is an exact zero, so the only
 differences are XLA reassociation across the wider channel axis.
 
-Why this exists: MFU probes (runs/probe_mfu.out) measured 64-feature trunk
+Why this exists: MFU probes (runs/probe_mfu.err) measured 64-feature trunk
 convs at ~59-64 TFLOP/s (half the MXU's 128 lanes idle) while the same
 useful work packed 2-frames-into-channels ran at 97.6 TFLOP/s.  The packing
 is only legal if the math is unchanged — these goldens pin that.
