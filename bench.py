@@ -114,6 +114,10 @@ _WEDGE_QUIET_S = 600   # post-timeout quiet period (CLAUDE.md: a timed-out
                        # insult; recovery gates must be patient, >=600 s)
 _CLAIM_GAP_S = 45      # teardown gap before the next process attaches
 _LOCK_PATH = os.environ.get("SR_CHIP_LOCK", "/tmp/sr_chip.lock")
+# Secondary-row coverage handoff: the child writes completed/skipped labels
+# here; the parent folds them into the final headline JSON (next #6).
+_ROWS_STATUS_PATH = os.environ.get("SR_BENCH_ROWS_STATUS",
+                                   "/tmp/sr_bench_rows.json")
 
 
 class _ChipLock:
@@ -314,6 +318,10 @@ def main():
     # hazard 2).
     time.sleep(_CLAIM_GAP_S)
     try:
+        os.unlink(_ROWS_STATUS_PATH)
+    except OSError:
+        pass
+    try:
         # Secondary rows run in their OWN bounded subprocess; this parent
         # never attaches.  Round-4 preview evidence (bench_r4_preview2.err):
         # the in-parent attach wedged once and every later row then hung on
@@ -321,7 +329,16 @@ def main():
         _run_secondaries_subprocess(
             seconds=t0 + total_budget - 60 - time.monotonic())
     finally:
-        # Final stdout line = the headline JSON, on EVERY exit path.
+        # Final stdout line = the headline JSON, on EVERY exit path, now
+        # carrying the secondary-row coverage the child recorded.
+        try:
+            with open(_ROWS_STATUS_PATH) as f:
+                st = json.load(f)
+            result["secondary_rows"] = {
+                "completed": len(st.get("completed", [])),
+                "skipped": st.get("skipped", [])}
+        except (OSError, ValueError):
+            pass
         print(json.dumps(result), flush=True)
         # Teardown spacing while still holding the flock, so the next
         # with_chip holder can't claim into our client's teardown.
@@ -396,9 +413,19 @@ def _secondary_rows(deadline: float):
         # -- the round's best results first (cheap XLA compiles) ----------
         ("srresnet-folded", 240, lambda: bench_srresnet_folded(batches=(1,))),
         ("edsr-folded", 240, lambda: bench_edsr_folded(batches=(1,))),
-        ("lane-packed rows", 300, bench_lane_packed),
+        ("lane-packed rows", 360, bench_lane_packed),
         ("edsr-full-folded", 240, bench_edsr_full_folded),
         ("vdsr-fused", 300, bench_vdsr_fused),  # Mosaic, but ~7 s compile
+        # -- never-landed capability rows, early viable slots (VERDICT r4
+        # weak #5: serve-load and host-ingest missed every driver record
+        # r1-r4; srcnn last landed in r2).  host-ingest is host-only (60 s);
+        # serve-load-quick is one client count at ~1/4 the request volume.
+        ("srcnn", 180, xla_row(
+            "srcnn", name="srcnn", scale=4, out_hw=(1080, 1920), batch=1,
+            channels=1)),
+        ("host-ingest", 60, bench_host_ingest),
+        ("serve-load-quick", 240,
+         lambda: bench_serve_load(client_counts=(4,), per_client=5)),
         # -- int8 PTQ rows (MXU int8 path) ---------------------------------
         ("int8 rows", 420, bench_int8),
         # -- XLA zoo comparison rows ---------------------------------------
@@ -417,9 +444,6 @@ def _secondary_rows(deadline: float):
         ("vdsr-bf16", 180, xla_row(
             "vdsr-bf16", name="vdsr", scale=4, out_hw=(1080, 1920),
             batch=1, channels=1, overrides={"dtype": "bf16"})),
-        ("srcnn", 180, xla_row(
-            "srcnn", name="srcnn", scale=4, out_hw=(1080, 1920), batch=1,
-            channels=1)),
         # -- batch-scaling rows --------------------------------------------
         ("srresnet-folded-b4", 240, lambda: bench_srresnet_folded(batches=(4,))),
         ("edsr-folded-b4", 240, lambda: bench_edsr_folded(batches=(4,))),
@@ -433,15 +457,16 @@ def _secondary_rows(deadline: float):
             "srresnet-bf16-b4", name="srresnet", scale=4,
             out_hw=(1080, 1920), batch=4, channels=3,
             overrides={"dtype": "bf16"})),
-        # -- K2 head + serving + host rows ---------------------------------
+        # -- K2 head + full serving scaling curve ---------------------------
         ("vdsr-pallas-head", 300, bench_vdsr_pallas_head),
-        ("serve-load", 300, bench_serve_load),
-        ("host-ingest", 60, bench_host_ingest),
+        ("serve-load", 300, lambda: bench_serve_load(port=8694)),
         ("virtual-mesh", 300, bench_virtual_mesh_scaling),
         # -- the pathological Mosaic compile, LAST by design ----------------
         ("espcn-pallas rows", 600, bench_fused_espcn),
     ]
     completed = 0
+    done_labels: list = []
+    skipped: list = []
     for idx, (label, budget, thunk) in enumerate(rows):
         left = deadline - time.monotonic()
         if left < 30:
@@ -462,9 +487,26 @@ def _secondary_rows(deadline: float):
             # SIGALRM unwound the frame but this process keeps a
             # half-attached client — every later row would hang the same
             # way (measured: bench_r4_preview2.err).  Bail out.
+            _write_rows_status(done_labels, [lb for lb, _, _ in rows
+                                            if lb not in done_labels])
             sys.exit(86)
         if not guard.fired:
             completed += 1
+            done_labels.append(label)
+        else:
+            skipped.append(f"{label} (row timeout)")
+    # Coverage record for the driver (VERDICT r4 weak #5 / next #6): the
+    # parent folds this into the final headline JSON so the record carries
+    # which rows ran and which were cut, not just a stderr tail comment.
+    _write_rows_status(done_labels, skipped)
+
+
+def _write_rows_status(done, skipped):
+    try:
+        with open(_ROWS_STATUS_PATH, "w") as f:
+            json.dump({"completed": done, "skipped": skipped}, f)
+    except OSError:
+        pass
 
 
 class _bounded:
@@ -724,6 +766,31 @@ def bench_lane_packed():
             raise
         except Exception as e:
             print(f"# vdsr-packed2-b2 failed: {e}", file=sys.stderr)
+        try:
+            from ml_super_resolution_tpu.kernels.apply import (
+                srresnet_folded_packed_forward,
+            )
+
+            ms = build_model(ModelConfig(name="srresnet", scale=4, channels=3))
+            x = jnp.asarray(np.random.default_rng(0).random(
+                (2, 270, 480, 3)), jnp.float32)
+            v = ms.init(jax.random.key(0), x[:1], train=False)
+            pp = pack_blockdiag_params(v["params"], reps=2, scale=4)
+            ps = pack_blockdiag_params(v.get("batch_stats", {}), reps=2,
+                                       scale=4)
+
+            def fwd(q, inp):
+                return srresnet_folded_packed_forward(
+                    q, ps, inp, 4, reps=2, dtype=jnp.bfloat16)
+
+            dtf = _iter_time(fwd, pp, x, iters=4)
+            print(f"# srresnet-folded-packed2-b2 x4 -> 1080p: "
+                  f"{2*1080*1920/1e6/dtf:.1f} MP/s ({dtf*1e3:.2f} ms)",
+                  file=sys.stderr)
+        except TimeoutError:
+            raise
+        except Exception as e:
+            print(f"# srresnet-folded-packed2-b2 failed: {e}", file=sys.stderr)
     except TimeoutError:
         raise
     except Exception as e:
@@ -766,11 +833,14 @@ def bench_edsr_full_folded():
         print(f"# edsr-full-folded bench failed: {e}", file=sys.stderr)
 
 
-def bench_serve_load(client_counts=(1, 4, 8), per_client: int = 15):
+def bench_serve_load(client_counts=(1, 4, 8), per_client: int = 15,
+                     port: int = 8693):
     """HTTP serving load rows: requests/s vs concurrent client count against
     the micro-batched /upscale endpoint (bf16 trunk, 128x128 -> 512x512).
     One server session, one row per client count — the scaling curve shows
-    whether micro-batching actually amortizes dispatches under load."""
+    whether micro-batching actually amortizes dispatches under load.
+    ``port`` must differ across invocations in one process: the daemon
+    server thread of an earlier row still holds its listening socket."""
     try:
         import io
         import threading
@@ -793,7 +863,6 @@ def bench_serve_load(client_counts=(1, 4, 8), per_client: int = 15):
         trainer = Trainer(cfg, workdir=None)
         state = trainer.init_state(0)
         ready = threading.Event()
-        port = 8693
         th = threading.Thread(
             target=serve, args=(trainer, state, cfg),
             kwargs=dict(port=port, ready_event=ready, bf16=True,

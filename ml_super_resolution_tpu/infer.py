@@ -127,13 +127,13 @@ def _make_apply_fn(model, variables, model_name: str, scale: int,
     # Folded routes honour the model's compute dtype (a bf16-rebuilt model —
     # serve --bf16 / upscale --bf16 — folds in bf16: the 152 MP/s config).
     dtype = getattr(model, "dtype", jnp.float32)
-    # SR_LANE_PACK=1 additionally packs PAIRS of frames into the channel
-    # axis with block-diagonal kernels (kernels/apply.py, MFU probes: 64-
-    # feature trunk convs run at half the MXU's lane rate; packed 1.52x).
-    # Applies only when the runtime batch is even; identical math (goldens
-    # in tests/test_lane_packing.py).  Default off until the measured
-    # on-chip win is recorded.
-    pack = _env_on("SR_LANE_PACK", "0")
+    # Lane packing (kernels/apply.py): PAIRS of frames ride the channel
+    # axis with block-diagonal kernels, filling the MXU's 128 lanes on
+    # 64-feature trunks.  Identical math (goldens in
+    # tests/test_lane_packing.py); applies only when the runtime batch is
+    # even.  Routed per model by _LANE_PACK_DEFAULT (measured decision
+    # table); SR_LANE_PACK=1/0 force-overrides for every model.
+    pack = _lane_pack_on(model_name)
     if model_name == "edsr" and _env_on("SR_FOLDED_TAIL"):
         from ml_super_resolution_tpu.kernels.apply import (
             edsr_folded_forward,
@@ -200,6 +200,27 @@ def _env_on(name: str, default: str = "1") -> bool:
     import os
 
     return os.environ.get(name, default) not in ("0", "false", "")
+
+
+# Per-model lane-packing routing decision (VERDICT r4 next #2), from the
+# driver-recorded chip rows (BENCH_r04.json tail, 1080p x4 bf16):
+#   vdsr:      packed2-b2 64.4 MP/s vs fused-kernel 44.1 / XLA-bf16 42.6
+#              -> packed is the default even-batch route (+51%).
+#   edsr:      folded-packed2-b2 183.5 vs folded-b1 211.9 -> b1 streaming
+#              wins; packing stays OFF (the b>=2 glue loss, RESULTS.md).
+#   srresnet/srgan: no driver-recorded packed row yet -> OFF until the
+#              srresnet-folded-packed2-b2 bench row lands and wins.
+_LANE_PACK_DEFAULT = {"vdsr": True, "edsr": False,
+                      "srresnet": False, "srgan": False}
+
+
+def _lane_pack_on(model_name: str) -> bool:
+    import os
+
+    v = os.environ.get("SR_LANE_PACK")
+    if v is not None:
+        return v not in ("0", "false", "")
+    return _LANE_PACK_DEFAULT.get(model_name, False)
 
 
 def _apply_net(apply_fn, net_in: jnp.ndarray, mesh, net_halo: int,

@@ -100,3 +100,46 @@ def test_sr_lane_pack_route_is_byte_identical(monkeypatch):
     # odd batch falls back to the unpacked route (still correct)
     odd = np.asarray(upscale_frames(m, v, frames[:3], "edsr", 2))
     np.testing.assert_array_equal(odd, base[:3])
+
+
+def test_default_routing_table(monkeypatch):
+    """The measured per-model decision table (infer._LANE_PACK_DEFAULT,
+    BENCH_r04.json): vdsr even-batch defaults to the packed route with NO
+    env var; SR_LANE_PACK=0 force-disables it (byte-identical output);
+    edsr's default route stays unpacked (packed-b2 loses to b1 on chip)."""
+    import ml_super_resolution_tpu.kernels.apply as A
+    from ml_super_resolution_tpu.infer import upscale_frames
+
+    monkeypatch.delenv("SR_LANE_PACK", raising=False)
+    calls = []
+    real = A.vdsr_packed_forward
+    monkeypatch.setattr(
+        A, "vdsr_packed_forward",
+        lambda *a, **k: (calls.append(1), real(*a, **k))[1])
+    m, v, _ = _init("vdsr", 2, 1, hw=(16, 14), batch=2)
+    frames = jnp.asarray(
+        (np.random.default_rng(5).random((2, 16, 14, 3)) * 255)
+        .astype(np.uint8))
+    ref = np.asarray(upscale_frames(m, v, frames, "vdsr", 2))
+    assert calls, "vdsr even batch must default to the packed route"
+
+    calls.clear()
+    monkeypatch.setenv("SR_LANE_PACK", "0")
+    off = np.asarray(upscale_frames(m, v, frames, "vdsr", 2))
+    assert not calls, "SR_LANE_PACK=0 must force the plain route"
+    # packed conv sums reassociate across the widened channel axis, so a
+    # value sitting exactly on a .5 rounding boundary may flip one step
+    assert np.abs(off.astype(int) - ref.astype(int)).max() <= 1
+
+    monkeypatch.delenv("SR_LANE_PACK", raising=False)
+    calls2 = []
+    reale = A.edsr_folded_packed_forward
+    monkeypatch.setattr(
+        A, "edsr_folded_packed_forward",
+        lambda *a, **k: (calls2.append(1), reale(*a, **k))[1])
+    me, ve, _ = _init("edsr", 2, 3, overrides={"num_blocks": 2, "features": 8})
+    ef = jnp.asarray(
+        (np.random.default_rng(6).random((2, 16, 14, 3)) * 255)
+        .astype(np.uint8))
+    np.asarray(upscale_frames(me, ve, ef, "edsr", 2))
+    assert not calls2, "edsr default route must stay unpacked"
