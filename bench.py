@@ -411,10 +411,12 @@ def _secondary_rows(deadline: float):
 
     rows = [
         # -- the round's best results first (cheap XLA compiles) ----------
+        ("edsr-composed rows", 420, bench_edsr_composed),
         ("srresnet-folded", 240, lambda: bench_srresnet_folded(batches=(1,))),
         ("edsr-folded", 240, lambda: bench_edsr_folded(batches=(1,))),
         ("lane-packed rows", 360, bench_lane_packed),
         ("edsr-full-folded", 240, bench_edsr_full_folded),
+        ("edsr-full-int8", 300, bench_edsr_full_int8),
         ("vdsr-fused", 300, bench_vdsr_fused),  # Mosaic, but ~7 s compile
         # -- never-landed capability rows, early viable slots (VERDICT r4
         # weak #5: serve-load and host-ingest missed every driver record
@@ -831,6 +833,118 @@ def bench_edsr_full_folded():
         raise
     except Exception as e:
         print(f"# edsr-full-folded bench failed: {e}", file=sys.stderr)
+
+
+def bench_edsr_composed():
+    """Composed one-conv glue rows (kernels/apply.py edsr_composed_forward,
+    the round-5 default edsr route): the staged glue measured 4.93 of the
+    baseline's 9.8 ms frame and 31.06 of the flagship's 90.3 ms
+    (runs/probe_trunk_gap.err); composition cuts its FLOPs ~20x.  The
+    packed-b2 row tests whether the composed glue finally makes batch 2
+    beat two b1 dispatches (VERDICT r4 weak #3)."""
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        from ml_super_resolution_tpu.kernels.apply import (
+            edsr_composed_forward,
+            edsr_composed_packed_forward,
+            pack_blockdiag_params,
+        )
+        from ml_super_resolution_tpu.models import build_model
+        from ml_super_resolution_tpu.utils.config import ModelConfig
+
+        m = build_model(ModelConfig(name="edsr", scale=4, channels=3))
+        x4 = jnp.asarray(np.random.default_rng(0).random((4, 270, 480, 3)),
+                         jnp.float32)
+        v = m.init(jax.random.key(0), x4[:1], train=False)
+
+        def fwd(var, inp):
+            return edsr_composed_forward(var["params"], inp, 4,
+                                         dtype=jnp.bfloat16)
+
+        for nb in (1, 2):
+            try:
+                dtf = _iter_time(fwd, v, x4[:nb], iters=6)
+                print(f"# edsr-composed-bf16-b{nb} x4 -> 1080p: "
+                      f"{nb*1080*1920/1e6/dtf:.1f} MP/s ({dtf*1e3:.2f} ms)",
+                      file=sys.stderr)
+            except TimeoutError:
+                raise
+            except Exception as e:
+                print(f"# edsr-composed-b{nb} failed: {e}", file=sys.stderr)
+        try:
+            pp = pack_blockdiag_params(v["params"], reps=2, scale=4)
+
+            def pfwd(q, inp):
+                return edsr_composed_packed_forward(q, inp, 4, reps=2,
+                                                    dtype=jnp.bfloat16)
+
+            dtf = _iter_time(pfwd, pp, x4[:2], iters=6)
+            print(f"# edsr-composed-packed2-b2 x4 -> 1080p: "
+                  f"{2*1080*1920/1e6/dtf:.1f} MP/s ({dtf*1e3:.2f} ms)",
+                  file=sys.stderr)
+        except TimeoutError:
+            raise
+        except Exception as e:
+            print(f"# edsr-composed-packed2-b2 failed: {e}", file=sys.stderr)
+        try:
+            mf = build_model(ModelConfig(
+                name="edsr", scale=4, channels=3,
+                overrides={"num_blocks": 32, "features": 256,
+                           "res_scale": 0.1}))
+            vf = mf.init(jax.random.key(0), x4[:1], train=False)
+
+            def ffwd(var, inp):
+                return edsr_composed_forward(var["params"], inp, 4,
+                                             res_scale=0.1,
+                                             dtype=jnp.bfloat16)
+
+            dtf = _iter_time(ffwd, vf, x4[:1], iters=2)
+            tfl = 32 * 2 * 2 * 270 * 480 * 9 * 256 * 256 / dtf / 1e12
+            print(f"# edsr-full-composed-bf16-b1 x4 -> 1080p: "
+                  f"{1080*1920/1e6/dtf:.1f} MP/s ({dtf*1e3:.2f} ms)  "
+                  f"trunk {tfl:.1f} TFLOP/s", file=sys.stderr)
+        except TimeoutError:
+            raise
+        except Exception as e:
+            print(f"# edsr-full-composed failed: {e}", file=sys.stderr)
+    except TimeoutError:
+        raise
+    except Exception as e:
+        print(f"# edsr-composed bench failed: {e}", file=sys.stderr)
+
+
+def bench_edsr_full_int8():
+    """Production-leg row for the 43M flagship (VERDICT r4 next #3): the
+    full-paper EDSR quantized int8 over its folded-tail recast — the deploy
+    config `sr serve --int8` would run.  Quality evidence lives in
+    runs/int8_edsr_full_chip.json; this is the speed side."""
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        from ml_super_resolution_tpu.models import build_model
+        from ml_super_resolution_tpu.quant import int8_apply_fn
+        from ml_super_resolution_tpu.utils.config import ModelConfig
+
+        m = build_model(ModelConfig(
+            name="edsr", scale=4, channels=3,
+            overrides={"num_blocks": 32, "features": 256, "res_scale": 0.1}))
+        x = jnp.asarray(np.random.default_rng(0).random((1, 270, 480, 3)),
+                        jnp.float32)
+        v = m.init(jax.random.key(0), x[:1], train=False)
+        qfn = int8_apply_fn(m, v, "edsr", 4, x[:1], impl="conv",
+                            dtype=jnp.bfloat16)
+        raw, qtree = qfn.func, qfn.args[0]
+        dtf = _iter_time(lambda q, inp: raw(q, inp), qtree, x, iters=2)
+        print(f"# edsr-full-int8-b1 x4 -> 1080p: "
+              f"{1080*1920/1e6/dtf:.1f} MP/s ({dtf*1e3:.2f} ms)",
+              file=sys.stderr)
+    except TimeoutError:
+        raise
+    except Exception as e:
+        print(f"# edsr-full-int8 bench failed: {e}", file=sys.stderr)
 
 
 def bench_serve_load(client_counts=(1, 4, 8), per_client: int = 15,

@@ -136,21 +136,29 @@ def _make_apply_fn(model, variables, model_name: str, scale: int,
     pack = _lane_pack_on(model_name)
     if model_name == "edsr" and _env_on("SR_FOLDED_TAIL"):
         from ml_super_resolution_tpu.kernels.apply import (
+            edsr_composed_forward,
+            edsr_composed_packed_forward,
             edsr_folded_forward,
             edsr_folded_packed_forward,
             pack_blockdiag_params,
         )
 
+        # Default: the composed one-conv glue (kernels/apply.py, round-5
+        # probes: the staged glue was 34% of flagship frame time for 24%
+        # of its FLOPs).  SR_COMPOSED_TAIL=0 restores the staged fold.
+        if _env_on("SR_COMPOSED_TAIL"):
+            fwd, pfwd = edsr_composed_forward, edsr_composed_packed_forward
+        else:
+            fwd, pfwd = edsr_folded_forward, edsr_folded_packed_forward
         rs = float(getattr(model, "res_scale", 1.0))
         pp = (pack_blockdiag_params(variables["params"], 2, scale)
               if pack else None)
 
         def edsr_fn(inp):
             if pp is not None and inp.shape[0] % 2 == 0:
-                return edsr_folded_packed_forward(
-                    pp, inp, scale, reps=2, res_scale=rs, dtype=dtype)
-            return edsr_folded_forward(
-                variables["params"], inp, scale, res_scale=rs, dtype=dtype)
+                return pfwd(pp, inp, scale, reps=2, res_scale=rs, dtype=dtype)
+            return fwd(variables["params"], inp, scale, res_scale=rs,
+                       dtype=dtype)
 
         return edsr_fn
     if model_name in ("srresnet", "srgan") and _env_on("SR_FOLDED_TAIL"):

@@ -32,7 +32,9 @@ from ml_super_resolution_tpu.kernels.subpixel import conv_pixel_shuffle
 __all__ = ["vdsr_pallas_forward", "srresnet_pallas_forward",
            "srresnet_folded_forward", "fold_tail_weights", "pallas_apply_fn",
            "pack_blockdiag_params", "edsr_folded_packed_forward",
-           "srresnet_folded_packed_forward", "vdsr_packed_forward"]
+           "srresnet_folded_packed_forward", "vdsr_packed_forward",
+           "compose_conv_kernels", "edsr_glue_plan", "edsr_composed_forward",
+           "edsr_composed_packed_forward"]
 
 
 def _conv(x, p, stride: int = 1):
@@ -220,41 +222,51 @@ def srresnet_folded_forward(params, batch_stats, x, scale: int,
     return pixel_shuffle(out, r).astype(jnp.float32)
 
 
-def edsr_folded_forward(params, x, scale: int, res_scale: float = 1.0,
-                        dtype=jnp.float32):
-    """EDSR inference with the tail conv folded into pre-shuffle space
-    (models/edsr.py; same recast as srresnet_folded_forward).  EDSR's tail
-    is 3x3 feat->channels at HR — the same 3-of-128-lane MXU starvation as
-    SRResNet's 9x9, and the fold also skips materializing the HR feat-ch
-    activation.  No BN and no activation in the upsample stages, so the
-    fold needs no PReLU commutation.  Pure XLA."""
-    from ml_super_resolution_tpu.models.srresnet import _upsample_stages
-    from ml_super_resolution_tpu.ops.pixel_shuffle import pixel_shuffle
+def _edsr_conv(y, p, dtype, w=None):
+    w = p["kernel"] if w is None else w
+    dn = jax.lax.conv_dimension_numbers(
+        y.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+    return jax.lax.conv_general_dilated(
+        y, w.astype(dtype), (1, 1), "SAME", dimension_numbers=dn
+    ) + p["bias"].astype(dtype)
 
-    def conv(y, p, w=None):
-        w = p["kernel"] if w is None else w
-        dn = jax.lax.conv_dimension_numbers(
-            y.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
-        return jax.lax.conv_general_dilated(
-            y, w.astype(dtype), (1, 1), "SAME", dimension_numbers=dn
-        ) + p["bias"].astype(dtype)
 
+def _edsr_trunk(params, x, res_scale: float, dtype):
+    """Mean-shifted head + residual blocks + long skip (models/edsr.py),
+    shared by the folded and composed forwards.  Measured on-chip at
+    168 TFLOP/s for the 32x256 flagship — 92% of the bare conv-stack
+    ceiling on the same shapes (runs/probe_trunk_gap.err), so the trunk is
+    kept as-is: unrolled (a lax.scan variant measured 124.8), res_scale
+    multiply fused by XLA (rs-folded variant measured identical)."""
     x = x.astype(dtype) - jnp.asarray(0.5, dtype)
-    head = conv(x, params["Conv_0"])
+    head = _edsr_conv(x, params["Conv_0"], dtype)
     y = head
     nblocks = sum(1 for k in params if k.startswith("_EDSRBlock_"))
     for i in range(nblocks):
         bp = params[f"_EDSRBlock_{i}"]
-        z = conv(jnp.maximum(conv(y, bp["Conv_0"]), 0), bp["Conv_1"])
+        z = _edsr_conv(jnp.maximum(_edsr_conv(y, bp["Conv_0"], dtype), 0),
+                       bp["Conv_1"], dtype)
         if res_scale != 1.0:
             z = z * jnp.asarray(res_scale, z.dtype)
         y = y + z
-    y = conv(y, params["Conv_1"]) + head  # long skip
+    return _edsr_conv(y, params["Conv_1"], dtype) + head  # long skip
+
+
+def _edsr_glue_staged(params, y, scale: int, dtype):
+    """The stage-by-stage upsample+tail glue with the tail conv folded into
+    pre-shuffle space (the round-3/4 recast).  Exact reference semantics —
+    also recomputes the border strips for the composed glue below."""
+    from ml_super_resolution_tpu.models.srresnet import _upsample_stages
+    from ml_super_resolution_tpu.ops.pixel_shuffle import pixel_shuffle
+
     stages = _upsample_stages(scale)
     for j, r in enumerate(stages[:-1]):
-        y = pixel_shuffle(conv(y, params[f"ICNRConvPixelShuffle_{j}"]["Conv_0"]), r)
+        y = pixel_shuffle(
+            _edsr_conv(y, params[f"ICNRConvPixelShuffle_{j}"]["Conv_0"],
+                       dtype), r)
     r = stages[-1]
-    z = conv(y, params[f"ICNRConvPixelShuffle_{len(stages) - 1}"]["Conv_0"])
+    z = _edsr_conv(y, params[f"ICNRConvPixelShuffle_{len(stages) - 1}"]["Conv_0"],
+                   dtype)
     tail = params["Conv_2"]
     wf = fold_tail_weights(tail["kernel"], r)
     dn = jax.lax.conv_dimension_numbers(
@@ -263,6 +275,142 @@ def edsr_folded_forward(params, x, scale: int, res_scale: float = 1.0,
         z, wf.astype(dtype), (1, 1), "SAME", dimension_numbers=dn
     ) + jnp.tile(tail["bias"], r * r).astype(dtype)
     return (pixel_shuffle(out, r) + jnp.asarray(0.5, dtype)).astype(jnp.float32)
+
+
+def edsr_folded_forward(params, x, scale: int, res_scale: float = 1.0,
+                        dtype=jnp.float32):
+    """EDSR inference with the tail conv folded into pre-shuffle space
+    (models/edsr.py; same recast as srresnet_folded_forward).  EDSR's tail
+    is 3x3 feat->channels at HR — the same 3-of-128-lane MXU starvation as
+    SRResNet's 9x9, and the fold also skips materializing the HR feat-ch
+    activation.  No BN and no activation in the upsample stages, so the
+    fold needs no PReLU commutation.  Pure XLA."""
+    y = _edsr_trunk(params, x, res_scale, dtype)
+    return _edsr_glue_staged(params, y, scale, dtype)
+
+
+# ---------------------------------------------------------------------------
+# Composed glue (round-5 trunk-gap probes, runs/probe_trunk_gap.err): the
+# EDSR-full glue — two ICNR stage convs + folded tail — measured 31.06 ms of
+# the 90.3 ms frame (34% of time for 24% of FLOPs, running at 102 vs the
+# trunk's 168 TFLOP/s), and the baseline glue is 4.93 of 9.8 ms.  EDSR's
+# upsample stages carry NO activation (models/edsr.py: "paper: no activation
+# inside the upsample stages"), so stage-conv -> PS -> stage-conv -> tail is
+# entirely LINEAR and composes exactly into ONE small LR conv:
+#
+#   x4: C1   = compose(A1, fold(T, 2))        (5,5,F,12)   at 2x res
+#       C1f  = fold(C1, 2)                    (3,3,4F,12*4) at LR
+#       Call = compose(A0, C1f)               (5,5,F,48)   at LR
+#   out = PS2(PS2(Call * y + beta))           (biases propagate per-channel)
+#
+# 3.17 TFLOP of glue becomes 0.16 TFLOP (x2/x3 analogous, one stage).  SAME
+# zero-padding does NOT commute with composition (each staged conv truncates
+# its intermediate at the frame edge; the composed conv sees y's zero-pad
+# instead), so a border band of width <= the glue's LR receptive field is
+# recomputed with the exact staged glue on thin edge strips and spliced —
+# the same edge-fixup pattern tiled inference uses (infer.py::_apply_net).
+# Interior + strips together reproduce the staged math exactly (goldens:
+# tests/test_composed_glue.py).
+# ---------------------------------------------------------------------------
+
+
+def compose_conv_kernels(ka, kb):
+    """Compose two SAME-conv (correlation) kernels into one: if
+    z = corr(y, ka) and out = corr(z, kb) (both HWIO, no padding truncation),
+    then out = corr(y, C) with C[t] = sum_{r+s=t} ka[r] @ kb[s] — shape
+    (ha+hb-1, wa+wb-1, ci, co).  Computed as a conv: ka viewed as a
+    ci-batch of (ha,wa,m) images correlated with the spatially-flipped kb."""
+    ha, wa, ci, m = ka.shape
+    hb, wb, m2, co = kb.shape
+    assert m == m2, (ka.shape, kb.shape)
+    img = jnp.transpose(ka, (2, 0, 1, 3))          # (ci, ha, wa, m)
+    kern = kb[::-1, ::-1]                          # flip -> convolution
+    dn = jax.lax.conv_dimension_numbers(
+        img.shape, kern.shape, ("NHWC", "HWIO", "NHWC"))
+    out = jax.lax.conv_general_dilated(
+        img, kern, (1, 1), [(hb - 1, hb - 1), (wb - 1, wb - 1)],
+        dimension_numbers=dn)
+    return jnp.transpose(out, (1, 2, 0, 3))        # (ha+hb-1, .., ci, co)
+
+
+def edsr_glue_plan(params, scale: int):
+    """Fold+compose the whole EDSR upsample+tail glue into one LR conv.
+
+    Returns ``(C, beta)``: out_LR = corr(y, C) + beta, followed by
+    ``pixel_shuffle(r)`` for each stage factor in order (the outermost fold
+    is performed last, so its (i*r+j)-major channel contract is the first
+    shuffle's).  Biases stay per-channel vectors: a constant-in,
+    b -> sum_hw,i C[h,w,i,o]*b[i] propagation per composition step — exact
+    for interior pixels; border truncation is the strips' job."""
+    from ml_super_resolution_tpu.models.srresnet import _upsample_stages
+
+    stages = _upsample_stages(scale)
+    tail = params["Conv_2"]
+    r = stages[-1]
+    C = fold_tail_weights(tail["kernel"], r)
+    beta = jnp.tile(tail["bias"], r * r)
+    last = params[f"ICNRConvPixelShuffle_{len(stages) - 1}"]["Conv_0"]
+    beta = jnp.einsum("hwio,i->o", C, last["bias"]) + beta
+    C = compose_conv_kernels(last["kernel"], C)
+    for j in reversed(range(len(stages) - 1)):
+        rj = stages[j]
+        C = fold_tail_weights(C, rj)
+        beta = jnp.tile(beta, rj * rj)
+        stage = params[f"ICNRConvPixelShuffle_{j}"]["Conv_0"]
+        beta = jnp.einsum("hwio,i->o", C, stage["bias"]) + beta
+        C = compose_conv_kernels(stage["kernel"], C)
+    return C, beta
+
+
+# LR border band recomputed by the staged glue: must cover the composed
+# glue's LR receptive-field radius (x4: ceil(1 + 1/2 + 1/4) = 2; 3 = margin).
+_STRIP_HALO = 3
+
+
+def _edsr_glue_composed(params, y, scale: int, dtype):
+    """One-conv composed glue + exact staged border strips (see module
+    comment above).  Falls back to the staged glue outright when the frame
+    is too small for strips to make sense."""
+    from ml_super_resolution_tpu.models.srresnet import _upsample_stages
+    from ml_super_resolution_tpu.ops.pixel_shuffle import pixel_shuffle
+
+    b = _STRIP_HALO
+    h, w = y.shape[1:3]
+    if h < 4 * b or w < 4 * b:
+        return _edsr_glue_staged(params, y, scale, dtype)
+    C, beta = edsr_glue_plan(params, scale)
+    dn = jax.lax.conv_dimension_numbers(
+        y.shape, C.shape, ("NHWC", "HWIO", "NHWC"))
+    z = jax.lax.conv_general_dilated(
+        y, C.astype(dtype), (1, 1), "SAME", dimension_numbers=dn
+    ) + beta.astype(dtype)
+    for r in _upsample_stages(scale):
+        z = pixel_shuffle(z, r)
+    out = (z + jnp.asarray(0.5, dtype)).astype(jnp.float32)
+    # exact border fixup: outer-b rows/cols from staged strips whose far
+    # edge is the true frame edge (full-width strips also fix the corners)
+    s = scale
+    top = _edsr_glue_staged(params, y[:, : 2 * b], scale, dtype)
+    bot = _edsr_glue_staged(params, y[:, -2 * b:], scale, dtype)
+    out = jnp.concatenate(
+        [top[:, : b * s], out[:, b * s : (h - b) * s], bot[:, -b * s:]],
+        axis=1)
+    lef = _edsr_glue_staged(params, y[:, :, : 2 * b], scale, dtype)
+    rig = _edsr_glue_staged(params, y[:, :, -2 * b:], scale, dtype)
+    out = jnp.concatenate(
+        [lef[:, :, : b * s], out[:, :, b * s : (w - b) * s],
+         rig[:, :, -b * s:]], axis=2)
+    return out
+
+
+def edsr_composed_forward(params, x, scale: int, res_scale: float = 1.0,
+                          dtype=jnp.float32):
+    """EDSR inference with the WHOLE upsample+tail glue composed into one
+    LR conv (+ exact border strips).  Same math as edsr_folded_forward /
+    models/edsr.py up to float reassociation; the default edsr route
+    (infer.py, SR_COMPOSED_TAIL=0 restores the staged fold)."""
+    y = _edsr_trunk(params, x, res_scale, dtype)
+    return _edsr_glue_composed(params, y, scale, dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -363,6 +511,18 @@ def edsr_folded_packed_forward(packed_params, x, scale: int, reps: int = 2,
     reps.  Same math as edsr_folded_forward per frame."""
     y = edsr_folded_forward(packed_params, _pack_frames(x, reps), scale,
                             res_scale=res_scale, dtype=dtype)
+    return _unpack_frames(y, reps)
+
+
+@partial(jax.jit, static_argnames=("scale", "reps", "res_scale", "dtype"))
+def edsr_composed_packed_forward(packed_params, x, scale: int, reps: int = 2,
+                                 res_scale: float = 1.0, dtype=jnp.float32):
+    """Lane-packed EDSR with the composed one-conv glue: the fold/compose
+    algebra is layout-agnostic, so it applies to the block-diagonal
+    shuffle-aware packed tree unchanged (the strips reuse the staged glue
+    on the same packed tree, as edsr_folded_packed_forward does)."""
+    y = edsr_composed_forward(packed_params, _pack_frames(x, reps), scale,
+                              res_scale=res_scale, dtype=dtype)
     return _unpack_frames(y, reps)
 
 
