@@ -565,23 +565,45 @@ def pallas_apply_fn(model_name: str, variables, scale: int):
         params = variables["params"]
         import os
 
-        if (
-            os.environ.get("SR_VDSR_FUSED") != "0"
-            and params["Conv_0"]["kernel"].shape[2] == 1
-        ):
-            # Whole-net multi-layer fused kernel (kernels/vdsr_fused.py) —
-            # the DEFAULT --pallas vdsr route since round 3: the width-
-            # chunked compact config compiles in ~7 s on the remote attach
-            # path and measures 44.7 MP/s at 1080p x4 vs XLA-bf16's 42.6
-            # (RESULTS.md).  SR_VDSR_FUSED=0 falls back to the K2 head
-            # (e.g. for multi-channel checkpoints, handled below anyway).
+        # Round-5 decision record (VERDICT r4 weak #4 / next #5): lane
+        # packing moved the XLA bar 51% above the fused kernel (packed2-b2
+        # 64.4 MP/s vs 44.1, BENCH_r04.json), so EVEN batches route to the
+        # packed-XLA forward.  A pack-aware (128-lane) kernel was evaluated
+        # and REJECTED on arithmetic, not taste: packed-XLA b2 runs
+        # ~compute-bound at 85.7 TFLOP/s useful (64.43 ms / 5.52 TFLOP),
+        # while the kernel's row-block halo recompute issues >=2.1x the
+        # useful FLOPs — it would need >=180 TFLOP/s sustained (91% of v5e
+        # bf16 peak) just to tie, against its measured 123.6 TFLOP/s issued
+        # (44.1 MP/s b1).  Same class of record as fused-ESPCN v2
+        # (kernels/attic/).  The kernel keeps the b1/odd-batch slot, where
+        # packing cannot apply and it still beats XLA-bf16 (44.1 vs 42.6).
+        fused_ok = (os.environ.get("SR_VDSR_FUSED") != "0"
+                    and params["Conv_0"]["kernel"].shape[2] == 1)
+        pp = pack_blockdiag_params(params, 2)
+
+        if fused_ok:
             from ml_super_resolution_tpu.kernels.vdsr_fused import (
                 vdsr_fused_forward,
             )
 
-            return lambda inp: vdsr_fused_forward(params, inp)
-        # Fallback: K2 fused residual head (on-device validated, fast compile).
-        return lambda inp: vdsr_pallas_forward(params, inp)
+            def vdsr_route(inp):
+                if inp.shape[0] % 2 == 0:
+                    # bf16 matches the fused kernel's precision class
+                    return vdsr_packed_forward(pp, inp, reps=2,
+                                               dtype=jnp.bfloat16)
+                return vdsr_fused_forward(params, inp)
+
+            return vdsr_route
+
+        # Fallback: packed XLA for even batches, K2 fused residual head
+        # (on-device validated, fast compile) otherwise.
+        def vdsr_route_nofused(inp):
+            if inp.shape[0] % 2 == 0:
+                return vdsr_packed_forward(pp, inp, reps=2,
+                                           dtype=jnp.bfloat16)
+            return vdsr_pallas_forward(params, inp)
+
+        return vdsr_route_nofused
     if model_name in ("srresnet", "srgan"):
         return lambda inp: srresnet_pallas_forward(
             variables["params"], variables.get("batch_stats", {}), inp, scale

@@ -52,6 +52,17 @@ Round-2 on-device baseline (v5e attach path): tile_h=8 full-width compiles
 in ~45 s, parity 6e-2 bf16, 36.8 MP/s @1080p x4 — exactly its issued-FLOP
 roofline (4x redundant FLOPs).  Round-3 chunked target: tile_h=32/wc=1024
 => ~2.1x multiplier, projected ~60+ MP/s vs XLA-bf16's 42.6.
+
+Round-5 STATUS (decision record, VERDICT r4 weak #4): lane packing
+(kernels/apply.py) raised the XLA bar to 64.4 MP/s at even batches —
+beyond this kernel's reachable roofline: with the >=2.1x halo-recompute
+multiplier, tying packed-XLA's measured 85.7 useful TFLOP/s requires
+>=180 TFLOP/s sustained issued throughput (91% of v5e bf16 peak), vs the
+123.6 this kernel measures at its own roofline.  A pack-aware 128-lane
+variant therefore cannot win and was not built.  The kernel REMAINS the
+``--pallas`` route for odd/single-frame batches (44.1 vs XLA-bf16's
+42.6 MP/s), where packing cannot apply; even batches route to packed XLA
+(kernels/apply.py::pallas_apply_fn).
 """
 
 from __future__ import annotations

@@ -58,24 +58,30 @@ def test_srresnet_no_bn_variant():
 
 
 def test_pallas_apply_fn_routing():
-    # Default vdsr route since round 3: whole-net fused kernel (bf16 matmul
-    # operands — loose tolerance; beats XLA-bf16 on device, RESULTS.md).
+    # Round-5 vdsr --pallas routing (decision record in kernels/apply.py):
+    # even batches -> packed-XLA bf16 (64.4 MP/s on chip); odd batches ->
+    # the whole-net fused kernel (44.1, still beats XLA-bf16's 42.6 where
+    # packing can't apply).  Both are bf16-class -> loose tolerance.
     m, v, x = _init("vdsr", 2, 1, overrides={"depth": 4})
     fn = pallas_apply_fn("vdsr", v, 2)
     assert fn is not None
-    err = np.abs(np.asarray(fn(x)) - np.asarray(m.apply(v, x, train=False)))
+    ref = np.asarray(m.apply(v, x, train=False))
+    err = np.abs(np.asarray(fn(x)) - ref)            # even: packed route
     assert float(err.max()) < 2e-2
+    err1 = np.abs(np.asarray(fn(x[:1])) - ref[:1])   # odd: fused kernel
+    assert float(err1.max()) < 2e-2
     assert pallas_apply_fn("srcnn", v, 2) is None  # no fused path -> flax
 
 
 def test_pallas_apply_fn_vdsr_fused_optout(monkeypatch):
-    # SR_VDSR_FUSED=0 falls back to the K2 fused residual head (f32-exact).
+    # SR_VDSR_FUSED=0: odd batches fall back to the K2 fused residual head
+    # (f32-exact); even batches still take the packed-XLA bf16 route.
     m, v, x = _init("vdsr", 2, 1, overrides={"depth": 4})
     monkeypatch.setenv("SR_VDSR_FUSED", "0")
     fn = pallas_apply_fn("vdsr", v, 2)
-    np.testing.assert_allclose(
-        np.asarray(fn(x)), np.asarray(m.apply(v, x, train=False)), atol=2e-5
-    )
+    ref = np.asarray(m.apply(v, x, train=False))
+    np.testing.assert_allclose(np.asarray(fn(x[:1])), ref[:1], atol=2e-5)
+    assert float(np.abs(np.asarray(fn(x)) - ref).max()) < 2e-2
 
 
 def test_upscale_frames_pallas_vdsr_matches_default(monkeypatch):
