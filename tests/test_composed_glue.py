@@ -115,6 +115,23 @@ def test_composed_bf16_runs():
     assert float(jnp.abs(out - ref).max()) < 0.1
 
 
+def test_composed_tiled_equals_whole():
+    """Band-tiled edsr (composed default route) == whole-frame bitwise: the
+    staged border strips inside a shard only touch the halo region that
+    tiling crops, so kept interiors are composed-conv values in both."""
+    from ml_super_resolution_tpu.infer import upscale_frames
+    from ml_super_resolution_tpu.parallel.mesh import make_mesh
+
+    m, v, _ = _init(2, hw=(16, 16))
+    frames = jnp.asarray(
+        (np.random.default_rng(9).random((1, 64, 26, 3)) * 255)
+        .astype(np.uint8))
+    whole = np.asarray(upscale_frames(m, v, frames, "edsr", 2, mesh=None))
+    tiled = np.asarray(upscale_frames(m, v, frames, "edsr", 2,
+                                      mesh=make_mesh(sp=2)))
+    np.testing.assert_array_equal(tiled, whole)
+
+
 def test_default_edsr_route_is_composed(monkeypatch):
     """infer.py routes edsr through the composed glue by default;
     SR_COMPOSED_TAIL=0 restores the staged fold."""
