@@ -849,6 +849,7 @@ def bench_edsr_composed():
         from ml_super_resolution_tpu.kernels.apply import (
             edsr_composed_forward,
             edsr_composed_packed_forward,
+            edsr_glue_plan,
             pack_blockdiag_params,
         )
         from ml_super_resolution_tpu.models import build_model
@@ -858,14 +859,19 @@ def bench_edsr_composed():
         x4 = jnp.asarray(np.random.default_rng(0).random((4, 270, 480, 3)),
                          jnp.float32)
         v = m.init(jax.random.key(0), x4[:1], train=False)
+        # plan precomputed EAGERLY and passed as a jit argument: rebuilding
+        # the fold/compose chain inside the timed loop is not hoisted by
+        # XLA and costs ~10 ms/call (measured, runs/bench_r5_preview.err)
+        vplan = (v, edsr_glue_plan(v["params"], 4))
 
-        def fwd(var, inp):
+        def fwd(vp, inp):
+            var, plan = vp
             return edsr_composed_forward(var["params"], inp, 4,
-                                         dtype=jnp.bfloat16)
+                                         dtype=jnp.bfloat16, plan=plan)
 
         for nb in (1, 2):
             try:
-                dtf = _iter_time(fwd, v, x4[:nb], iters=6)
+                dtf = _iter_time(fwd, vplan, x4[:nb], iters=6)
                 print(f"# edsr-composed-bf16-b{nb} x4 -> 1080p: "
                       f"{nb*1080*1920/1e6/dtf:.1f} MP/s ({dtf*1e3:.2f} ms)",
                       file=sys.stderr)
@@ -875,12 +881,15 @@ def bench_edsr_composed():
                 print(f"# edsr-composed-b{nb} failed: {e}", file=sys.stderr)
         try:
             pp = pack_blockdiag_params(v["params"], reps=2, scale=4)
+            pplan = (pp, edsr_glue_plan(pp, 4))
 
-            def pfwd(q, inp):
+            def pfwd(qp, inp):
+                q, plan = qp
                 return edsr_composed_packed_forward(q, inp, 4, reps=2,
-                                                    dtype=jnp.bfloat16)
+                                                    dtype=jnp.bfloat16,
+                                                    plan=plan)
 
-            dtf = _iter_time(pfwd, pp, x4[:2], iters=6)
+            dtf = _iter_time(pfwd, pplan, x4[:2], iters=6)
             print(f"# edsr-composed-packed2-b2 x4 -> 1080p: "
                   f"{2*1080*1920/1e6/dtf:.1f} MP/s ({dtf*1e3:.2f} ms)",
                   file=sys.stderr)
@@ -894,13 +903,15 @@ def bench_edsr_composed():
                 overrides={"num_blocks": 32, "features": 256,
                            "res_scale": 0.1}))
             vf = mf.init(jax.random.key(0), x4[:1], train=False)
+            vfplan = (vf, edsr_glue_plan(vf["params"], 4))
 
-            def ffwd(var, inp):
+            def ffwd(vp, inp):
+                var, plan = vp
                 return edsr_composed_forward(var["params"], inp, 4,
                                              res_scale=0.1,
-                                             dtype=jnp.bfloat16)
+                                             dtype=jnp.bfloat16, plan=plan)
 
-            dtf = _iter_time(ffwd, vf, x4[:1], iters=2)
+            dtf = _iter_time(ffwd, vfplan, x4[:1], iters=2)
             tfl = 32 * 2 * 2 * 270 * 480 * 9 * 256 * 256 / dtf / 1e12
             print(f"# edsr-full-composed-bf16-b1 x4 -> 1080p: "
                   f"{1080*1920/1e6/dtf:.1f} MP/s ({dtf*1e3:.2f} ms)  "

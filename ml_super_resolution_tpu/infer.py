@@ -146,19 +146,34 @@ def _make_apply_fn(model, variables, model_name: str, scale: int,
         # Default: the composed one-conv glue (kernels/apply.py, round-5
         # probes: the staged glue was 34% of flagship frame time for 24%
         # of its FLOPs).  SR_COMPOSED_TAIL=0 restores the staged fold.
-        if _env_on("SR_COMPOSED_TAIL"):
-            fwd, pfwd = edsr_composed_forward, edsr_composed_packed_forward
-        else:
-            fwd, pfwd = edsr_folded_forward, edsr_folded_packed_forward
+        # Glue plans are built HERE, eagerly, once per route — rebuilding
+        # the fold/compose chain inside a jitted loop costs milliseconds.
+        from ml_super_resolution_tpu.kernels.apply import edsr_glue_plan
+
+        composed = _env_on("SR_COMPOSED_TAIL")
         rs = float(getattr(model, "res_scale", 1.0))
         pp = (pack_blockdiag_params(variables["params"], 2, scale)
               if pack else None)
+        plan = pplan = None
+        if composed:
+            plan = edsr_glue_plan(variables["params"], scale)
+            if pp is not None:
+                pplan = edsr_glue_plan(pp, scale)
 
         def edsr_fn(inp):
             if pp is not None and inp.shape[0] % 2 == 0:
-                return pfwd(pp, inp, scale, reps=2, res_scale=rs, dtype=dtype)
-            return fwd(variables["params"], inp, scale, res_scale=rs,
-                       dtype=dtype)
+                if composed:
+                    return edsr_composed_packed_forward(
+                        pp, inp, scale, reps=2, res_scale=rs, dtype=dtype,
+                        plan=pplan)
+                return edsr_folded_packed_forward(
+                    pp, inp, scale, reps=2, res_scale=rs, dtype=dtype)
+            if composed:
+                return edsr_composed_forward(
+                    variables["params"], inp, scale, res_scale=rs,
+                    dtype=dtype, plan=plan)
+            return edsr_folded_forward(
+                variables["params"], inp, scale, res_scale=rs, dtype=dtype)
 
         return edsr_fn
     if model_name in ("srresnet", "srgan") and _env_on("SR_FOLDED_TAIL"):
@@ -214,11 +229,14 @@ def _env_on(name: str, default: str = "1") -> bool:
 # driver-recorded chip rows (BENCH_r04.json tail, 1080p x4 bf16):
 #   vdsr:      packed2-b2 64.4 MP/s vs fused-kernel 44.1 / XLA-bf16 42.6
 #              -> packed is the default even-batch route (+51%).
-#   edsr:      folded-packed2-b2 183.5 vs folded-b1 211.9 -> b1 streaming
-#              wins; packing stays OFF (the b>=2 glue loss, RESULTS.md).
-#   srresnet/srgan: no driver-recorded packed row yet -> OFF until the
-#              srresnet-folded-packed2-b2 bench row lands and wins.
-_LANE_PACK_DEFAULT = {"vdsr": True, "edsr": False,
+#   edsr:      composed-packed2-b2 252.6 MP/s vs folded-b1 211.9 — with the
+#              round-5 composed glue, packed even batches WIN (+19%); the
+#              packed route only engages on even batches, b1 stays folded
+#              (runs/bench_r5_preview.err).
+#   srresnet/srgan: folded-packed2-b2 143.1 LOSES to folded-b1 153.8
+#              (runs/bench_r5_preview.err) -> OFF; the BN/PReLU trunk gains
+#              less from lane fill than its glue loses from the batch dim.
+_LANE_PACK_DEFAULT = {"vdsr": True, "edsr": True,
                       "srresnet": False, "srgan": False}
 
 

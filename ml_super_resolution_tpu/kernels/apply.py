@@ -367,10 +367,13 @@ def edsr_glue_plan(params, scale: int):
 _STRIP_HALO = 3
 
 
-def _edsr_glue_composed(params, y, scale: int, dtype):
+def _edsr_glue_composed(params, y, scale: int, dtype, plan=None):
     """One-conv composed glue + exact staged border strips (see module
     comment above).  Falls back to the staged glue outright when the frame
-    is too small for strips to make sense."""
+    is too small for strips to make sense.  ``plan`` is a precomputed
+    ``edsr_glue_plan`` result; pass it from outside any timed/jitted loop —
+    the fold/compose chains are loop-invariant but XLA does not reliably
+    hoist them, and rebuilding the plan per call costs real milliseconds."""
     from ml_super_resolution_tpu.models.srresnet import _upsample_stages
     from ml_super_resolution_tpu.ops.pixel_shuffle import pixel_shuffle
 
@@ -378,7 +381,7 @@ def _edsr_glue_composed(params, y, scale: int, dtype):
     h, w = y.shape[1:3]
     if h < 4 * b or w < 4 * b:
         return _edsr_glue_staged(params, y, scale, dtype)
-    C, beta = edsr_glue_plan(params, scale)
+    C, beta = edsr_glue_plan(params, scale) if plan is None else plan
     dn = jax.lax.conv_dimension_numbers(
         y.shape, C.shape, ("NHWC", "HWIO", "NHWC"))
     z = jax.lax.conv_general_dilated(
@@ -404,13 +407,15 @@ def _edsr_glue_composed(params, y, scale: int, dtype):
 
 
 def edsr_composed_forward(params, x, scale: int, res_scale: float = 1.0,
-                          dtype=jnp.float32):
+                          dtype=jnp.float32, plan=None):
     """EDSR inference with the WHOLE upsample+tail glue composed into one
     LR conv (+ exact border strips).  Same math as edsr_folded_forward /
     models/edsr.py up to float reassociation; the default edsr route
-    (infer.py, SR_COMPOSED_TAIL=0 restores the staged fold)."""
+    (infer.py, SR_COMPOSED_TAIL=0 restores the staged fold).  Callers on a
+    hot path should precompute ``plan = edsr_glue_plan(params, scale)``
+    once (eagerly) and pass it through."""
     y = _edsr_trunk(params, x, res_scale, dtype)
-    return _edsr_glue_composed(params, y, scale, dtype)
+    return _edsr_glue_composed(params, y, scale, dtype, plan=plan)
 
 
 # ---------------------------------------------------------------------------
@@ -516,13 +521,15 @@ def edsr_folded_packed_forward(packed_params, x, scale: int, reps: int = 2,
 
 @partial(jax.jit, static_argnames=("scale", "reps", "res_scale", "dtype"))
 def edsr_composed_packed_forward(packed_params, x, scale: int, reps: int = 2,
-                                 res_scale: float = 1.0, dtype=jnp.float32):
+                                 res_scale: float = 1.0, dtype=jnp.float32,
+                                 plan=None):
     """Lane-packed EDSR with the composed one-conv glue: the fold/compose
     algebra is layout-agnostic, so it applies to the block-diagonal
     shuffle-aware packed tree unchanged (the strips reuse the staged glue
-    on the same packed tree, as edsr_folded_packed_forward does)."""
+    on the same packed tree, as edsr_folded_packed_forward does).  Pass a
+    precomputed ``edsr_glue_plan(packed_params, scale)`` on hot paths."""
     y = edsr_composed_forward(packed_params, _pack_frames(x, reps), scale,
-                              res_scale=res_scale, dtype=dtype)
+                              res_scale=res_scale, dtype=dtype, plan=plan)
     return _unpack_frames(y, reps)
 
 

@@ -104,9 +104,10 @@ def test_sr_lane_pack_route_is_byte_identical(monkeypatch):
 
 def test_default_routing_table(monkeypatch):
     """The measured per-model decision table (infer._LANE_PACK_DEFAULT,
-    BENCH_r04.json): vdsr even-batch defaults to the packed route with NO
-    env var; SR_LANE_PACK=0 force-disables it (byte-identical output);
-    edsr's default route stays unpacked (packed-b2 loses to b1 on chip)."""
+    BENCH_r04.json + runs/bench_r5_preview.err): vdsr and edsr even-batch
+    default to the packed route with NO env var; SR_LANE_PACK=0
+    force-disables it (≤1 uint8 step from reassociation); srresnet stays
+    unpacked (its packed-b2 row loses to b1)."""
     import ml_super_resolution_tpu.kernels.apply as A
     from ml_super_resolution_tpu.infer import upscale_frames
 
@@ -133,13 +134,25 @@ def test_default_routing_table(monkeypatch):
 
     monkeypatch.delenv("SR_LANE_PACK", raising=False)
     calls2 = []
-    reale = A.edsr_folded_packed_forward
+    reale = A.edsr_composed_packed_forward
     monkeypatch.setattr(
-        A, "edsr_folded_packed_forward",
+        A, "edsr_composed_packed_forward",
         lambda *a, **k: (calls2.append(1), reale(*a, **k))[1])
     me, ve, _ = _init("edsr", 2, 3, overrides={"num_blocks": 2, "features": 8})
     ef = jnp.asarray(
         (np.random.default_rng(6).random((2, 16, 14, 3)) * 255)
         .astype(np.uint8))
     np.asarray(upscale_frames(me, ve, ef, "edsr", 2))
-    assert not calls2, "edsr default route must stay unpacked"
+    assert calls2, "edsr even batch must default to composed+packed"
+
+    calls3 = []
+    reals = A.srresnet_folded_packed_forward
+    monkeypatch.setattr(
+        A, "srresnet_folded_packed_forward",
+        lambda *a, **k: (calls3.append(1), reals(*a, **k))[1])
+    ms, vs, _ = _init("srresnet", 2, 3, overrides={"num_blocks": 2})
+    sf = jnp.asarray(
+        (np.random.default_rng(8).random((2, 16, 14, 3)) * 255)
+        .astype(np.uint8))
+    np.asarray(upscale_frames(ms, vs, sf, "srresnet", 2))
+    assert not calls3, "srresnet default route must stay unpacked"
