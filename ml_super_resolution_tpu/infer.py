@@ -143,22 +143,34 @@ def _make_apply_fn(model, variables, model_name: str, scale: int,
             pack_blockdiag_params,
         )
 
-        # Default: the composed one-conv glue (kernels/apply.py, round-5
-        # probes: the staged glue was 34% of flagship frame time for 24%
-        # of its FLOPs).  SR_COMPOSED_TAIL=0 restores the staged fold.
+        # Composed one-conv glue (kernels/apply.py; round-5 probes: the
+        # staged glue was 34% of flagship frame time for 24% of its FLOPs).
+        # SR_COMPOSED_TAIL=0 restores the staged fold everywhere.  Two
+        # measured size gates (runs/probe_composed.err):
+        #  - lane packing only fills idle lanes: features >= 128 already
+        #    saturates the MXU, so packing is gated to features < 128;
+        #  - the composed glue's staged border strips are a ~fixed per-call
+        #    relay overhead, amortized by big trunks (flagship composed-b1
+        #    76.7 ms beats folded 90.3) but not by the 64-feature baseline
+        #    at odd batches (composed 20.9 vs folded 9.6) — so UNPACKED
+        #    composed is gated to features >= 128; even baseline batches
+        #    take composed+packed (250.7 MP/s, the best measured route).
         # Glue plans are built HERE, eagerly, once per route — rebuilding
         # the fold/compose chain inside a jitted loop costs milliseconds.
         from ml_super_resolution_tpu.kernels.apply import edsr_glue_plan
 
         composed = _env_on("SR_COMPOSED_TAIL")
+        feats = int(getattr(model, "features", 64))
         rs = float(getattr(model, "res_scale", 1.0))
+        pack = pack and feats < 128
+        composed_unpacked = composed and feats >= 128
         pp = (pack_blockdiag_params(variables["params"], 2, scale)
               if pack else None)
         plan = pplan = None
-        if composed:
+        if composed_unpacked:
             plan = edsr_glue_plan(variables["params"], scale)
-            if pp is not None:
-                pplan = edsr_glue_plan(pp, scale)
+        if composed and pp is not None:
+            pplan = edsr_glue_plan(pp, scale)
 
         def edsr_fn(inp):
             if pp is not None and inp.shape[0] % 2 == 0:
@@ -168,7 +180,7 @@ def _make_apply_fn(model, variables, model_name: str, scale: int,
                         plan=pplan)
                 return edsr_folded_packed_forward(
                     pp, inp, scale, reps=2, res_scale=rs, dtype=dtype)
-            if composed:
+            if composed_unpacked:
                 return edsr_composed_forward(
                     variables["params"], inp, scale, res_scale=rs,
                     dtype=dtype, plan=plan)

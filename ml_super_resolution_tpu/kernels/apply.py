@@ -390,19 +390,25 @@ def _edsr_glue_composed(params, y, scale: int, dtype, plan=None):
     for r in _upsample_stages(scale):
         z = pixel_shuffle(z, r)
     out = (z + jnp.asarray(0.5, dtype)).astype(jnp.float32)
-    # exact border fixup: outer-b rows/cols from staged strips whose far
-    # edge is the true frame edge (full-width strips also fix the corners)
+    # Exact border fixup: outer-b rows/cols from staged strips whose far
+    # edge is the true frame edge (full-width strips also fix the corners).
+    # Strip cost is per-OP relay overhead, not FLOPs (probe_composed.err:
+    # ~15 ms for 4 separate strip calls) — so opposite strips are BATCHED
+    # into one staged call each (same shape), halving the op count.
     s = scale
-    top = _edsr_glue_staged(params, y[:, : 2 * b], scale, dtype)
-    bot = _edsr_glue_staged(params, y[:, -2 * b:], scale, dtype)
+    n = y.shape[0]
+    tb = _edsr_glue_staged(
+        params, jnp.concatenate([y[:, : 2 * b], y[:, -2 * b:]], axis=0),
+        scale, dtype)
     out = jnp.concatenate(
-        [top[:, : b * s], out[:, b * s : (h - b) * s], bot[:, -b * s:]],
+        [tb[:n, : b * s], out[:, b * s : (h - b) * s], tb[n:, -b * s:]],
         axis=1)
-    lef = _edsr_glue_staged(params, y[:, :, : 2 * b], scale, dtype)
-    rig = _edsr_glue_staged(params, y[:, :, -2 * b:], scale, dtype)
+    lr_ = _edsr_glue_staged(
+        params, jnp.concatenate([y[:, :, : 2 * b], y[:, :, -2 * b:]],
+                                axis=0), scale, dtype)
     out = jnp.concatenate(
-        [lef[:, :, : b * s], out[:, :, b * s : (w - b) * s],
-         rig[:, :, -b * s:]], axis=2)
+        [lr_[:n, :, : b * s], out[:, :, b * s : (w - b) * s],
+         lr_[n:, :, -b * s:]], axis=2)
     return out
 
 

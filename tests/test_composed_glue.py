@@ -132,27 +132,46 @@ def test_composed_tiled_equals_whole():
     np.testing.assert_array_equal(tiled, whole)
 
 
-def test_default_edsr_route_is_composed(monkeypatch):
-    """infer.py routes edsr through the composed glue by default;
-    SR_COMPOSED_TAIL=0 restores the staged fold."""
+def test_default_edsr_route_gates(monkeypatch):
+    """infer.py's measured size gates (runs/probe_composed.err): even
+    batches -> composed+packed (features < 128); odd small-trunk batches
+    -> folded (strip overhead loses); odd wide-trunk (features >= 128) ->
+    composed unpacked; SR_COMPOSED_TAIL=0 restores staged everywhere."""
     import ml_super_resolution_tpu.kernels.apply as A
     from ml_super_resolution_tpu.infer import upscale_frames
 
     monkeypatch.delenv("SR_COMPOSED_TAIL", raising=False)
-    calls = []
-    real = A.edsr_composed_forward
+    monkeypatch.delenv("SR_LANE_PACK", raising=False)
+    comp, pcomp = [], []
+    realc = A.edsr_composed_forward
+    realp = A.edsr_composed_packed_forward
     monkeypatch.setattr(
         A, "edsr_composed_forward",
-        lambda *a, **k: (calls.append(1), real(*a, **k))[1])
-    m, v, _ = _init(2, hw=(16, 14))
-    frames = jnp.asarray(
-        (np.random.default_rng(7).random((1, 16, 14, 3)) * 255)
-        .astype(np.uint8))
-    ref = np.asarray(upscale_frames(m, v, frames, "edsr", 2))
-    assert calls, "edsr default route must be the composed glue"
+        lambda *a, **k: (comp.append(1), realc(*a, **k))[1])
+    monkeypatch.setattr(
+        A, "edsr_composed_packed_forward",
+        lambda *a, **k: (pcomp.append(1), realp(*a, **k))[1])
 
-    calls.clear()
+    m, v, _ = _init(2, hw=(16, 14))   # features=8 (small trunk)
+    fr2 = jnp.asarray(
+        (np.random.default_rng(7).random((2, 16, 14, 3)) * 255)
+        .astype(np.uint8))
+    ref = np.asarray(upscale_frames(m, v, fr2, "edsr", 2))
+    assert pcomp, "even batch must route composed+packed"
+
+    # (edsr_composed_packed_forward calls edsr_composed_forward inside,
+    # so `comp` fires alongside `pcomp` — reset both between cases)
+    comp.clear(); pcomp.clear()
+    np.asarray(upscale_frames(m, v, fr2[:1], "edsr", 2))
+    assert not comp and not pcomp, \
+        "odd small-trunk batch must stay on the folded route"
+
+    mw, vw, _ = _init(2, hw=(16, 14), overrides={"features": 128})
+    np.asarray(upscale_frames(mw, vw, fr2[:1], "edsr", 2))
+    assert comp, "odd wide-trunk batch must route composed unpacked"
+
+    comp.clear(); pcomp.clear()
     monkeypatch.setenv("SR_COMPOSED_TAIL", "0")
-    off = np.asarray(upscale_frames(m, v, frames, "edsr", 2))
-    assert not calls
+    off = np.asarray(upscale_frames(m, v, fr2, "edsr", 2))
+    assert not comp and not pcomp
     assert np.abs(off.astype(int) - ref.astype(int)).max() <= 1
