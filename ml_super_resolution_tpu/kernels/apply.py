@@ -327,9 +327,15 @@ def compose_conv_kernels(ka, kb):
     kern = kb[::-1, ::-1]                          # flip -> convolution
     dn = jax.lax.conv_dimension_numbers(
         img.shape, kern.shape, ("NHWC", "HWIO", "NHWC"))
+    # HIGHEST: this conv COMPUTES the composed kernel's entries.  At TPU
+    # default precision (single-pass bf16) the plan weights themselves lose
+    # mantissa, and a plan built on-device then disagrees with the same
+    # plan built on CPU by a few uint8 output steps (observed: the EDSR-full
+    # SRX1 artifact check, runs/aot_chip_check_edsr_full.out, diff=3).
+    # Construction is once-per-route, so precision here is free.
     out = jax.lax.conv_general_dilated(
         img, kern, (1, 1), [(hb - 1, hb - 1), (wb - 1, wb - 1)],
-        dimension_numbers=dn)
+        dimension_numbers=dn, precision=jax.lax.Precision.HIGHEST)
     return jnp.transpose(out, (1, 2, 0, 3))        # (ha+hb-1, .., ci, co)
 
 
@@ -350,14 +356,16 @@ def edsr_glue_plan(params, scale: int):
     C = fold_tail_weights(tail["kernel"], r)
     beta = jnp.tile(tail["bias"], r * r)
     last = params[f"ICNRConvPixelShuffle_{len(stages) - 1}"]["Conv_0"]
-    beta = jnp.einsum("hwio,i->o", C, last["bias"]) + beta
+    beta = jnp.einsum("hwio,i->o", C, last["bias"],
+                      precision=jax.lax.Precision.HIGHEST) + beta
     C = compose_conv_kernels(last["kernel"], C)
     for j in reversed(range(len(stages) - 1)):
         rj = stages[j]
         C = fold_tail_weights(C, rj)
         beta = jnp.tile(beta, rj * rj)
         stage = params[f"ICNRConvPixelShuffle_{j}"]["Conv_0"]
-        beta = jnp.einsum("hwio,i->o", C, stage["bias"]) + beta
+        beta = jnp.einsum("hwio,i->o", C, stage["bias"],
+                          precision=jax.lax.Precision.HIGHEST) + beta
         C = compose_conv_kernels(stage["kernel"], C)
     return C, beta
 

@@ -51,26 +51,23 @@ train_until() {
 }
 
 echo "=== master29 start ($(date -u +%H:%M)) ==="
-chip_health 6 || { echo "chip unavailable at queue start"; exit 1; }
+# 00:14-00:51: three 300s-budget probes hung and were SIGTERMed — each kill
+# of a mid-claim probe is itself a wedge event (chiplock.sh cadence note).
+# One long-budget probe instead: if cold attach after the machine restore
+# simply takes minutes, this succeeds where the 300s cadence never can.
+chip_health 4 1200 600 || { echo "chip unavailable at queue start"; exit 1; }
 
-echo "=== re-validate composed/packed rows post-24c5517 ($(date -u +%H:%M)) ==="
-with_chip timeout 1500 python - 2> runs/bench_r5_preview2.err <<'PYEOF'
+echo "=== re-validate composed rows post-24c5517 ($(date -u +%H:%M)) ==="
+with_chip timeout 900 python - 2> runs/bench_r5_preview2.err <<'PYEOF'
 import sys
 sys.path.insert(0, "/root/repo")
 import bench
 bench.bench_edsr_composed()
-bench.bench_lane_packed()
 PYEOF
 echo "preview2 rc=$? ($(date -u +%H:%M))"
 grep '^#' runs/bench_r5_preview2.err
-
-echo "=== chipless CPU export of EDSR-full SRX1 ($(date -u +%H:%M)) ==="
-JAX_PLATFORMS=cpu timeout 2400 python -m ml_super_resolution_tpu.cli export \
-  --workdir runs/r4_edsr_full --best --output runs/edsr_full_x4.srx \
-  --size 270x480 --batches 1 \
-  > runs/aot_export_edsr_full.json 2> runs/aot_export_edsr_full.err
-echo "export rc=$? ($(date -u +%H:%M))"
-tail -c 300 runs/aot_export_edsr_full.json; echo
+# (CPU SRX1 export of the flagship runs standalone outside this queue —
+# host-only, banked before the chip gate even opens.)
 
 echo "=== on-chip EDSR-full artifact check ($(date -u +%H:%M)) ==="
 with_chip timeout 1800 python - > runs/aot_chip_check_edsr_full.out 2>&1 <<'PYEOF'
